@@ -1,0 +1,90 @@
+"""Cost-gradient guidance for the reverse diffusion chain.
+
+Counterpart of the reference's GuideManagerTrajectoriesWithVelocity
+(reference: mpd/models/diffusion_models/guides.py:149-236), rebuilt as a pure
+function factory: instead of autograd bookkeeping around a no_grad sampling
+loop, the guide is a closure using `jax.grad`, and it composes into the
+jitted sampler directly.
+
+Semantics preserved exactly (these details dominate plan quality):
+- gradients are taken w.r.t. the *unnormalized* trajectory, but the returned
+  update is applied to the *normalized* trajectory by the sampler (the
+  reference does the same: guides.py:173-211 vs sample_functions.py:74-83);
+- per-term clip-by-norm over the last (state) dim computes the norm of
+  (grad + 1e-6) — the epsilon is added to the gradient, not the norm
+  (guides.py:224-230);
+- gradient rows at the first and last waypoint are zeroed (guides.py:202-203);
+- the result is the *negated* weighted sum (gradient ascent on -cost,
+  guides.py:210);
+- collision terms see the trajectory linearly interpolated to
+  `num_interpolated_points_for_collision` points, gradients flow back to the
+  support points through the interpolation. The reference's effective value
+  is 128 due to a kwarg-name mismatch at the call site (inference.py:234
+  passes `num_interpolated_points`, the class takes
+  `num_interpolated_points_for_collision`, guides.py:152-156) — we default to
+  the effective 128.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpd_tpu.costs.cost_functions import CostComposite
+from mpd_tpu.world.task import interpolate_points
+
+
+class GuideTrajectoriesWithVelocity:
+    """Builds guide_fn(x_normalized) -> update for the sampler."""
+
+    def __init__(
+        self,
+        unnormalize_fn: Callable[[jnp.ndarray], jnp.ndarray],
+        cost: CostComposite,
+        clip_grad: bool = False,
+        clip_grad_rule: str = "norm",
+        max_grad_norm: float = 1.0,
+        max_grad_value: float = 0.1,
+        interpolate_trajectories_for_collision: bool = False,
+        num_interpolated_points_for_collision: int = 128,
+    ):
+        self.unnormalize_fn = unnormalize_fn
+        self.cost = cost
+        self.clip_grad = clip_grad
+        self.clip_grad_rule = clip_grad_rule
+        self.max_grad_norm = float(max_grad_norm)
+        self.max_grad_value = float(max_grad_value)
+        self.interpolate = interpolate_trajectories_for_collision
+        self.num_interp = num_interpolated_points_for_collision
+
+    def _clip_gradient(self, grad: jnp.ndarray) -> jnp.ndarray:
+        if not self.clip_grad:
+            return grad
+        if self.clip_grad_rule == "norm":
+            grad_norm = jnp.linalg.norm(grad + 1e-6, axis=-1, keepdims=True)
+            scale_ratio = jnp.clip(grad_norm, 0.0, self.max_grad_norm) / grad_norm
+            return scale_ratio * grad
+        elif self.clip_grad_rule == "value":
+            return jnp.clip(grad, -self.max_grad_value, self.max_grad_value)
+        raise NotImplementedError(self.clip_grad_rule)
+
+    def __call__(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
+        x_phys = self.unnormalize_fn(x_normalized)
+
+        def term_cost(x, idx):
+            x_interp = (
+                interpolate_points(x, self.num_interp) if self.interpolate else x
+            )
+            return jnp.sum(self.cost.cost_list[idx](x, x_interp))
+
+        grad_total = jnp.zeros_like(x_phys)
+        for idx, weight in enumerate(self.cost.weights):
+            grad_cost = jax.grad(term_cost)(x_phys, idx)
+            grad_cost = self._clip_gradient(grad_cost)
+            grad_cost = grad_cost.at[..., 0, :].set(0.0)
+            grad_cost = grad_cost.at[..., -1, :].set(0.0)
+            grad_total = grad_total + weight * grad_cost
+
+        return -1.0 * grad_total

@@ -1,0 +1,163 @@
+"""Per-context expert-trajectory generation: RRT-Connect seeds + GPMP2 smoothing.
+
+Counterpart of the reference's data-generation pipeline
+(reference: scripts/generate_data/generate_trajectories.py:20-169):
+rejection-sample a start/goal pair, run RRT-Connect for seed paths, smooth
+all seeds simultaneously with batched GPMP2, split collision/free, save
+trajs-free.npy / trajs-collision.npy + args.yaml/metadata.yaml (the config
+round-trip contract the dataset loader reads, SURVEY section 5.6).
+Contexts are independent — shard them across hosts/processes by context id
+(the reference used one SLURM job per context).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+from mpd_tpu.data.datagen.gpmp2 import GPMP2
+from mpd_tpu.data.datagen.rrt_connect import RRTConnect, resample_path
+from mpd_tpu.world.envs import get_env
+from mpd_tpu.world.primitives import sdf_object_set_np
+from mpd_tpu.world.robots import get_robot
+from mpd_tpu.world.task import PlanningTask
+
+
+def make_host_collision_fn(env, robot, margin: float):
+    """NumPy q [N, dof] -> in-collision bool [N] for the host-side RRT."""
+    radii = np.asarray(robot.collision_sphere_radii, dtype=np.float64)
+    q_min = np.asarray(robot.q_min, dtype=np.float64)
+    q_max = np.asarray(robot.q_max, dtype=np.float64)
+
+    def collision_fn(q: np.ndarray) -> np.ndarray:
+        centers = robot.collision_sphere_positions(q, xp=np)  # [N, S, ws]
+        d = sdf_object_set_np(centers, env.objects) - radii
+        in_obs = np.min(d, axis=-1) <= margin
+        oob = np.any((q < q_min) | (q > q_max), axis=-1)
+        return in_obs | oob
+
+    return collision_fn
+
+
+def seeds_from_paths(paths, H: int, dt: float) -> np.ndarray:
+    """Resample RRT paths to H support points and attach finite-difference
+    velocities (zeroed at the endpoints). Returns [B, H, 2q]."""
+    out = []
+    for path in paths:
+        pos = resample_path(np.asarray(path), H)  # [H, q]
+        vel = np.gradient(pos, dt, axis=0)
+        vel[0] = 0.0
+        vel[-1] = 0.0
+        out.append(np.concatenate([pos, vel], axis=-1))
+    return np.stack(out, axis=0)
+
+
+def generate_context(
+    env_id: str,
+    robot_id: str,
+    seed: int,
+    results_dir: Optional[str] = None,
+    num_trajectories: int = 20,
+    n_support_points: int = 64,
+    duration: float = 5.0,
+    threshold_start_goal_pos: float = 1.0,
+    obstacle_cutoff_margin: float = 0.02,
+    rrt_max_time: float = 120.0,
+    gpmp_opt_iters: int = 300,
+    debug: bool = False,
+) -> Dict:
+    """Generate one context's worth of expert trajectories.
+
+    Defaults mirror the reference script's knobs
+    (generate_trajectories.py:26-33, 182-190).
+    """
+    env = get_env(env_id)
+    robot = get_robot(robot_id)
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=obstacle_cutoff_margin)
+    dt = duration / n_support_points
+
+    collision_fn = make_host_collision_fn(env, robot, margin=obstacle_cutoff_margin)
+
+    # ---- rejection-sample start/goal (ref generate_trajectories.py:53-65)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    start, goal = None, None
+    for _ in range(1000):
+        key, sub = jax.random.split(key)
+        qs = np.asarray(task.random_coll_free_q(sub, n_samples=2))
+        if np.linalg.norm(qs[0] - qs[1]) > threshold_start_goal_pos:
+            start, goal = qs[0], qs[1]
+            break
+    if start is None:
+        raise ValueError("could not sample a valid start/goal pair")
+
+    # ---- RRT-Connect seeds (ref :71-89)
+    rrt_params = env.get_rrt_connect_params(robot)
+    rrt_params["max_time"] = rrt_max_time
+    paths = []
+    for i in range(num_trajectories):
+        planner = RRTConnect(
+            collision_fn,
+            np.asarray(robot.q_min),
+            np.asarray(robot.q_max),
+            step_size=rrt_params["step_size"],
+            n_iters=rrt_params["n_iters"],
+            max_time=rrt_params["max_time"],
+            seed=seed * 1000 + i,
+        )
+        path = planner.plan(start, goal)
+        if path is not None:
+            paths.append(path)
+    if not paths:
+        raise RuntimeError("RRT-Connect found no path for this context")
+
+    # ---- batched GPMP2 smoothing (ref :92-119)
+    theta0 = seeds_from_paths(paths, n_support_points, dt)
+    gpmp_params = env.get_gpmp2_params(robot)
+    gpmp_params["opt_iters"] = gpmp_opt_iters
+    gpmp = GPMP2(robot, task, n_support_points=n_support_points, dt=dt, **gpmp_params)
+    trajs = np.asarray(gpmp.optimize(theta0))
+
+    # ---- split free / collision (ref :128-135)
+    free_mask = np.asarray(task.trajs_free_mask(jnp.asarray(trajs)))
+    trajs_free = trajs[free_mask]
+    trajs_coll = trajs[~free_mask]
+
+    stats = {
+        "n_trajs": int(len(trajs)),
+        "n_free": int(len(trajs_free)),
+        "fraction_free": float(free_mask.mean()),
+        "collision_intensity": float(task.compute_collision_intensity_trajs(jnp.asarray(trajs))),
+        "success": int(len(trajs_free) > 0),
+    }
+
+    if results_dir is not None:
+        ctx_dir = os.path.join(results_dir, str(seed))
+        os.makedirs(ctx_dir, exist_ok=True)
+        np.save(os.path.join(ctx_dir, "trajs-free.npy"), trajs_free.astype(np.float32))
+        np.save(os.path.join(ctx_dir, "trajs-collision.npy"), trajs_coll.astype(np.float32))
+        args = dict(
+            env_id=env_id,
+            robot_id=robot_id,
+            num_trajectories=num_trajectories,
+            n_support_points=n_support_points,
+            duration=duration,
+            threshold_start_goal_pos=threshold_start_goal_pos,
+            obstacle_cutoff_margin=obstacle_cutoff_margin,
+            seed=seed,
+        )
+        with open(os.path.join(ctx_dir, "args.yaml"), "w") as f:
+            yaml.safe_dump(args, f)
+        with open(os.path.join(ctx_dir, "metadata.yaml"), "w") as f:
+            yaml.safe_dump(
+                dict(env_id=env_id, robot_id=robot_id, num_trajectories=num_trajectories), f
+            )
+
+    if debug:
+        print(f"[datagen ctx {seed}] {stats}")
+    return stats

@@ -1,0 +1,163 @@
+"""Guided reverse-DDPM sampling as a single jittable scan.
+
+TPU-first redesign of the reference's Python sampling loop
+(reference: mpd/models/diffusion_models/diffusion_model_base.py:157-182 and
+mpd/models/diffusion_models/sample_functions.py:17-83): instead of a host loop
+of 30 CUDA launches, the whole chain — eps-model forward, posterior step,
+guide-gradient steps, hard conditioning, noise injection — is two
+`lax.scan`s (an unguided phase and a guided phase, statically split at
+`t_start_guide` so XLA compiles each specialized, with no per-step cond).
+
+Timestep convention (matches the reference exactly):
+  i runs over reversed(range(-n_extra_steps, T)); the effective timestep is
+  t = max(i, 0); noise is zeroed whenever t == 0 (i.e. i <= 0), so the final
+  `n_extra_steps + 1` steps are deterministic denoise/guide refinements.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpd_tpu.diffusion.gaussian_diffusion import (
+    HardConds,
+    apply_hard_conditioning,
+    p_mean_variance,
+    _gather,
+)
+from mpd_tpu.diffusion.schedules import DiffusionSchedule
+
+EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# guide_fn(x_normalized) -> update direction (already negated cost gradient)
+GuideFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampler knobs (all shapes/trip-counts are compile-time)."""
+
+    n_guide_steps: int = 5
+    t_start_guide: int = 7  # guide active for steps with i < t_start_guide
+    n_extra_steps: int = 5  # extra noiseless steps after t=0 (ref: n_diffusion_steps_without_noise)
+    noise_std_extra: float = 0.5  # temperature on the injected noise (ref: noise_std_extra_schedule_fn)
+    scale_grad_by_std: bool = False
+    clip_denoised: bool = True
+    predict_epsilon: bool = True
+
+
+def guide_gradient_steps(
+    x: jnp.ndarray,
+    hard_conds: HardConds,
+    guide_fn: GuideFn,
+    n_guide_steps: int = 1,
+    model_var: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """n guide ascent steps with re-pinning (ref sample_functions.py:65-83)."""
+    for _ in range(n_guide_steps):
+        grad_scaled = guide_fn(x)
+        if model_var is not None:
+            grad_scaled = model_var * grad_scaled
+        x = x + grad_scaled
+        x = apply_hard_conditioning(x, hard_conds)
+    return x
+
+
+def ddpm_sample_step(
+    schedule: DiffusionSchedule,
+    eps_fn: EpsFn,
+    x: jnp.ndarray,
+    i: jnp.ndarray,
+    key: jax.Array,
+    hard_conds: HardConds,
+    cfg: SamplerConfig,
+    guide_fn: Optional[GuideFn] = None,
+    guided: bool = False,
+) -> jnp.ndarray:
+    """One reverse step x_i -> x_{i-1} (ref sample_functions.py:17-62).
+
+    `guided` is static: the guided/unguided variants are separate traces.
+    """
+    b = x.shape[0]
+    t = jnp.full((b,), jnp.maximum(i, 0), dtype=jnp.int32)
+
+    model_mean, log_var = p_mean_variance(
+        schedule, eps_fn, x, t,
+        clip_denoised=cfg.clip_denoised, predict_epsilon=cfg.predict_epsilon,
+    )
+    x = model_mean
+    model_std = jnp.exp(0.5 * log_var)
+
+    if guided and guide_fn is not None:
+        model_var = jnp.exp(log_var) if cfg.scale_grad_by_std else None
+        x = guide_gradient_steps(
+            x, hard_conds, guide_fn,
+            n_guide_steps=cfg.n_guide_steps, model_var=model_var,
+        )
+
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    noise = noise * (i > 0).astype(x.dtype)  # no noise when t == 0
+    return x + model_std * noise * cfg.noise_std_extra
+
+
+def run_sampling(
+    schedule: DiffusionSchedule,
+    eps_fn: EpsFn,
+    key: jax.Array,
+    shape: Tuple[int, int, int],
+    hard_conds: HardConds,
+    cfg: SamplerConfig,
+    guide_fn: Optional[GuideFn] = None,
+    return_chain: bool = False,
+):
+    """Full reverse chain (ref diffusion_model_base.py:157-182, 285-316).
+
+    Returns final x [B,H,D], or (final, chain [S+1,B,H,D]) with the initial
+    noise draw first, matching the reference's returned chain layout.
+    """
+    T = schedule.n_steps
+    steps = list(reversed(range(-cfg.n_extra_steps, T)))  # e.g. 24..0,-1..-5
+    t_start = cfg.t_start_guide if guide_fn is not None else -10**9
+    unguided_steps = [i for i in steps if i >= t_start]
+    guided_steps = [i for i in steps if i < t_start]
+
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape, schedule.betas.dtype)
+    x = apply_hard_conditioning(x, hard_conds)
+    chain0 = x
+
+    def make_phase(step_list, guided):
+        i_arr = jnp.asarray(np.array(step_list, dtype=np.int32))
+        n = len(step_list)
+
+        def body(carry, xs):
+            x_c, k = carry
+            i = xs
+            k, sub = jax.random.split(k)
+            x_n = ddpm_sample_step(
+                schedule, eps_fn, x_c, i, sub, hard_conds, cfg,
+                guide_fn=guide_fn, guided=guided,
+            )
+            x_n = apply_hard_conditioning(x_n, hard_conds)
+            return (x_n, k), (x_n if return_chain else None)
+
+        return i_arr, n, body
+
+    carry = (x, key)
+    chains = []
+    for step_list, guided in ((unguided_steps, False), (guided_steps, True)):
+        if not step_list:
+            continue
+        i_arr, _, body = make_phase(step_list, guided)
+        carry, ys = jax.lax.scan(body, carry, i_arr)
+        if return_chain:
+            chains.append(ys)
+
+    x_final = carry[0]
+    if return_chain:
+        chain = jnp.concatenate([chain0[None]] + chains, axis=0)
+        return x_final, chain
+    return x_final

@@ -1,0 +1,88 @@
+"""Temporal U-Net epsilon-predictor (flax.linen), channels-last.
+
+Same topology as the reference's TemporalUnet
+(reference: mpd/models/diffusion_models/temporal_unet.py:20-171):
+per level 2x ResidualTemporalBlock (+ optional self-attention) then a
+stride-2 downsample (except the deepest level); mid res-attn-res; mirrored
+up path with skip concatenation; final Conv1dBlock(k=5) + 1x1 conv back to
+state_dim. Horizon must be divisible by 2^(levels-1).
+
+Trajectories are [B, H, D] (channels-last throughout, no transposes).
+The live reference configuration is conditioning_type=None (time embedding
+only); context conditioning hooks are kept for parity of API surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mpd_tpu.nets.layers import (
+    Conv1dBlock,
+    Downsample1d,
+    PreNormResidualAttention,
+    ResidualTemporalBlock,
+    TimeEncoder,
+    Upsample1d,
+    group_norm_n_groups,
+)
+
+# Reference naming: UNET_DIM_MULTS (ref temporal_unet.py:14-17)
+UNET_DIM_MULTS = {
+    0: (1, 2, 4),
+    1: (1, 2, 4, 8),
+}
+
+
+class TemporalUnet(nn.Module):
+    state_dim: int
+    n_support_points: int = 64
+    unet_input_dim: int = 32
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    time_emb_dim: int = 32
+    self_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, H, D]
+        time: jnp.ndarray,  # [B] int timesteps
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        del context  # live reference path uses conditioning_type=None
+        dims = [self.state_dim] + [self.unet_input_dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        n_levels = len(in_out)
+
+        c_emb = TimeEncoder(32, self.time_emb_dim)(time)
+
+        skips = []
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= n_levels - 1
+            x = ResidualTemporalBlock(dim_out)(x, c_emb)
+            x = ResidualTemporalBlock(dim_out)(x, c_emb)
+            if self.self_attention:
+                x = PreNormResidualAttention(dim_out)(x)
+            skips.append(x)
+            if not is_last:
+                x = Downsample1d(dim_out)(x)
+
+        mid_dim = dims[-1]
+        x = ResidualTemporalBlock(mid_dim)(x, c_emb)
+        if self.self_attention:
+            x = PreNormResidualAttention(mid_dim)(x)
+        x = ResidualTemporalBlock(mid_dim)(x, c_emb)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResidualTemporalBlock(dim_in)(x, c_emb)
+            x = ResidualTemporalBlock(dim_in)(x, c_emb)
+            if self.self_attention:
+                x = PreNormResidualAttention(dim_in)(x)
+            x = Upsample1d(dim_in)(x)
+
+        x = Conv1dBlock(self.unet_input_dim, kernel_size=5)(x)
+        x = nn.Conv(self.state_dim, kernel_size=(1,))(x)
+        return x

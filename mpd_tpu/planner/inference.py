@@ -1,0 +1,226 @@
+"""End-to-end planning inference: one jitted guided-diffusion query.
+
+Counterpart of the reference's inference pipeline
+(reference: scripts/inference/inference.py:34-352): build costs + guide for
+the task, sample N candidate trajectories through the guided reverse chain,
+unnormalize, collision-check, score, select the best.
+
+TPU-first: the entire query — eps-model forwards, guide gradients (SDF +
+GP), hard conditioning, noise — is ONE compiled XLA program (two fused
+scans); candidate selection uses masked argmin so it also stays on device.
+Supports the reference's three planner variants: 'mpd' (guided diffusion),
+'diffusion_prior' (no guide), 'diffusion_prior_then_guide' (prior chain,
+then pure guide refinement steps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpd_tpu.costs.cost_functions import CostCollision, CostComposite, CostGPTrajectory
+from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+from mpd_tpu.diffusion.gaussian_diffusion import HardConds
+from mpd_tpu.diffusion.sampler import SamplerConfig, run_sampling
+from mpd_tpu.diffusion.schedules import DiffusionSchedule
+from mpd_tpu.data.dataset import TrajectoryDataset
+from mpd_tpu.world.task import (
+    compute_path_length,
+    compute_smoothness,
+    compute_variance_waypoints,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Knobs mirroring the reference CLI (inference.py:41-75)."""
+
+    planner_alg: str = "mpd"  # mpd | diffusion_prior | diffusion_prior_then_guide
+    n_samples: int = 50
+    start_guide_steps_fraction: float = 0.25
+    n_guide_steps: int = 5
+    n_diffusion_steps_without_noise: int = 5
+    weight_grad_cost_collision: float = 1e-2
+    weight_grad_cost_smoothness: float = 1e-7
+    factor_num_interpolated_points_for_collision: float = 1.5
+    trajectory_duration: float = 5.0
+    use_guide_on_extra_objects_only: bool = False
+    noise_std_extra: float = 0.5
+
+
+@dataclasses.dataclass
+class PlanningResult:
+    trajs_final: np.ndarray  # [B, H, 2q] unnormalized
+    trajs_chain: Optional[np.ndarray]  # [S, B, H, 2q]
+    free_mask: np.ndarray  # [B]
+    success: int
+    fraction_free: float
+    collision_intensity: float
+    idx_best: Optional[int]
+    cost_best: Optional[float]
+    cost_smoothness: Optional[np.ndarray]
+    cost_path_length: Optional[np.ndarray]
+    variance_waypoints: Optional[float]
+    t_total: float = 0.0
+
+
+class MotionPlanner:
+    """Builds and caches the compiled planning query for one task+model."""
+
+    def __init__(
+        self,
+        dataset: TrajectoryDataset,
+        schedule: DiffusionSchedule,
+        eps_fn,  # eps_fn(x [B,H,D], t [B]) -> eps_hat (params already bound)
+        config: PlannerConfig = PlannerConfig(),
+    ):
+        self.dataset = dataset
+        self.schedule = schedule
+        self.eps_fn = eps_fn
+        self.config = config
+
+        task = dataset.task
+        robot = dataset.robot
+        H = dataset.n_support_points
+        dt = config.trajectory_duration / H
+        robot.dt = dt
+
+        # ---- costs (ref inference.py:186-225)
+        if config.use_guide_on_extra_objects_only:
+            fields = [task.env.extra_objects]
+        else:
+            fields = [task.env.objects]
+        cost_list = [
+            CostCollision(
+                robot, H, field=f, sigma_coll=1.0,
+                cutoff_margin=task.obstacle_cutoff_margin,
+            )
+            for f in fields
+        ]
+        weights = [config.weight_grad_cost_collision] * len(cost_list)
+        cost_list.append(CostGPTrajectory(robot, H, dt, sigma_gp=1.0))
+        weights.append(config.weight_grad_cost_smoothness)
+        cost_composite = CostComposite(robot, H, cost_list, weights_cost_l=weights)
+
+        # ---- guide (ref inference.py:229-236; effective interp count is 128,
+        # see guide.py docstring on the reference's kwarg-mismatch quirk)
+        self.guide = GuideTrajectoriesWithVelocity(
+            unnormalize_fn=dataset.unnormalize_trajectories,
+            cost=cost_composite,
+            clip_grad=True,
+            interpolate_trajectories_for_collision=True,
+            num_interpolated_points_for_collision=128,
+        )
+
+        t_start_guide = math.ceil(
+            config.start_guide_steps_fraction * schedule.n_steps
+        )
+        self.sampler_cfg = SamplerConfig(
+            n_guide_steps=config.n_guide_steps,
+            t_start_guide=t_start_guide,
+            n_extra_steps=config.n_diffusion_steps_without_noise,
+            noise_std_extra=config.noise_std_extra,
+        )
+        self._t_start_guide = t_start_guide
+
+        use_guide_in_chain = config.planner_alg == "mpd"
+        guide_fn = self.guide if use_guide_in_chain else None
+
+        B, D = config.n_samples, dataset.state_dim
+        n_post_steps = (
+            (t_start_guide + config.n_diffusion_steps_without_noise)
+            * config.n_guide_steps
+            if config.planner_alg == "diffusion_prior_then_guide"
+            else 0
+        )
+
+        def _query(key: jax.Array, hard_conds: HardConds):
+            x_final, chain = run_sampling(
+                schedule, eps_fn, key, (B, H, D), hard_conds,
+                self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
+            )
+            if n_post_steps:
+                # pure guide refinement after the prior chain
+                # (ref inference.py:263-282)
+                def body(x, _):
+                    x = x + self.guide(x)
+                    from mpd_tpu.diffusion.gaussian_diffusion import (
+                        apply_hard_conditioning,
+                    )
+                    x = apply_hard_conditioning(x, hard_conds)
+                    return x, x
+
+                x_final, post_chain = jax.lax.scan(
+                    body, x_final, None, length=n_post_steps
+                )
+                chain = jnp.concatenate([chain, post_chain], axis=0)
+            trajs_chain = dataset.unnormalize_trajectories(chain)
+            trajs_final = trajs_chain[-1]
+            free_mask = task.trajs_free_mask(trajs_final)
+            return trajs_final, trajs_chain, free_mask
+
+        self._query = jax.jit(_query)
+
+    def hard_conds_for(self, start_pos: jnp.ndarray, goal_pos: jnp.ndarray) -> HardConds:
+        states = jnp.stack([start_pos, goal_pos])
+        conds = self.dataset.get_hard_conditions(
+            jnp.concatenate([states, jnp.zeros_like(states)], axis=-1),
+            normalize=True,
+        )
+        # broadcast to the sample batch (ref run_inference, diffusion_model_base.py:292-294)
+        return {k: jnp.broadcast_to(v, (self.config.n_samples,) + v.shape) for k, v in conds.items()}
+
+    def plan(
+        self,
+        key: jax.Array,
+        start_pos: jnp.ndarray,
+        goal_pos: jnp.ndarray,
+        return_chain: bool = False,
+    ) -> PlanningResult:
+        """One planning query (host wrapper: metrics + best-plan selection)."""
+        import time
+
+        hard_conds = self.hard_conds_for(start_pos, goal_pos)
+        t0 = time.perf_counter()
+        trajs_final, trajs_chain, free_mask = self._query(key, hard_conds)
+        jax.block_until_ready(trajs_final)
+        t_total = time.perf_counter() - t0
+
+        task, robot = self.dataset.task, self.dataset.robot
+        free_mask_np = np.asarray(free_mask)
+        success = int(free_mask_np.any())
+        fraction_free = float(free_mask_np.mean())
+        collision_intensity = float(task.compute_collision_intensity_trajs(trajs_final))
+
+        idx_best = cost_best = None
+        cost_sm = cost_pl = var_wp = None
+        if success:
+            free_idxs = np.nonzero(free_mask_np)[0]
+            trajs_free = trajs_final[jnp.asarray(free_idxs)]
+            cost_sm = np.asarray(compute_smoothness(trajs_free, robot))
+            cost_pl = np.asarray(compute_path_length(trajs_free, robot))
+            cost_all = cost_sm + cost_pl
+            best_local = int(np.argmin(cost_all))
+            idx_best = int(free_idxs[best_local])
+            cost_best = float(cost_all[best_local])
+            var_wp = float(compute_variance_waypoints(trajs_free, robot))
+
+        return PlanningResult(
+            trajs_final=np.asarray(trajs_final),
+            trajs_chain=np.asarray(trajs_chain) if return_chain else None,
+            free_mask=free_mask_np,
+            success=success,
+            fraction_free=fraction_free,
+            collision_intensity=collision_intensity,
+            idx_best=idx_best,
+            cost_best=cost_best,
+            cost_smoothness=cost_sm,
+            cost_path_length=cost_pl,
+            variance_waypoints=var_wp,
+            t_total=t_total,
+        )

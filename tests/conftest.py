@@ -1,0 +1,16 @@
+"""Test config: force the CPU backend with a virtual 8-device mesh so
+sharding tests run anywhere and compiles stay local/fast
+(SURVEY.md section 4, multi-host-without-a-pod). Must run before any test
+module imports jax. The axon TPU plugin (sitecustomize) re-registers itself
+regardless of JAX_PLATFORMS, so we also override via jax.config."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
