@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,9 +26,17 @@ def apply_hard_conditioning(x: jnp.ndarray, conds: HardConds) -> jnp.ndarray:
     """Pin waypoints to fixed states (ref sample_functions.py:5-8).
 
     x: [..., H, D]; conds values broadcast against [..., D].
+
+    Implemented as a one-hot mask select rather than a scatter: elementwise
+    ops fuse into the surrounding kernels and propagate batch shardings
+    (TPU scatters are slow and `.at[].set` needs explicit out-shardings
+    under a mesh).
     """
+    H = x.shape[-2]
     for t_idx, val in conds.items():
-        x = x.at[..., t_idx, :].set(jnp.broadcast_to(val, x[..., t_idx, :].shape))
+        onehot = jnp.asarray(np.arange(H) == t_idx, x.dtype)[:, None]  # [H, 1]
+        val_b = jnp.broadcast_to(val[..., None, :], x.shape[:-2] + (1, x.shape[-1]))
+        x = x * (1.0 - onehot) + val_b * onehot
     return x
 
 

@@ -1,0 +1,241 @@
+"""Diffusion-prior training: one jitted step, on-device batch sampling.
+
+Counterpart of the reference trainer
+(reference: mpd/trainer/trainer.py:116-335 + mpd/losses/gaussian_diffusion_loss.py)
+redesigned TPU-first:
+
+- The entire dataset (~10 MB) lives on device; each step draws batch indices
+  with `jax.random.randint` and gathers — there is no host dataloader, no
+  host<->device traffic in the hot loop (the reference's no-shuffle DataLoader
+  quirk, train_loaders.py:90-92, is deliberately NOT replicated: we sample
+  uniformly with replacement).
+- loss -> grad -> global-norm clip (1.0) -> Adam -> EMA all inside one jit;
+  EMA follows the reference's rule (beta=0.995, update every
+  `ema_update_every`=10 steps, hard copy before `step_start_ema`=1000;
+  trainer.py:67-85,294-300) but is evaluated branch-free with `where` masks.
+- bf16 option: model compute can run in bfloat16 (the AMP analogue,
+  trainer.py:146,182) while params/optimizer stay f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from mpd_tpu.diffusion.gaussian_diffusion import diffusion_loss
+from mpd_tpu.diffusion.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Knobs mirroring the reference training defaults
+    (scripts/train_diffusion/train.py:19-51, launch_train_01.py:71-118)."""
+
+    batch_size: int = 128
+    lr: float = 3e-4
+    num_train_steps: int = 500_000
+    clip_grad_norm: float = 1.0
+    use_ema: bool = True
+    ema_decay: float = 0.995
+    ema_update_every: int = 10
+    step_start_ema: int = 1000
+    loss_type: str = "l2"
+    predict_epsilon: bool = True
+    steps_til_summary: int = 20_000
+    steps_til_checkpoint: int = 50_000
+    use_bf16: bool = False
+    early_stopper_patience: int = -1
+
+
+class TrainState(NamedTuple):
+    params: FrozenDict
+    ema_params: FrozenDict
+    opt_state: optax.OptState
+    step: jnp.ndarray  # scalar int32
+
+
+class Trainer:
+    def __init__(
+        self,
+        net,  # flax Module: net.apply(params, x, t) -> eps_hat
+        schedule: DiffusionSchedule,
+        trajs_normalized: jnp.ndarray,  # [N, H, D] full dataset on device
+        config: TrainConfig = TrainConfig(),
+        val_fraction: float = 0.05,
+        seed: int = 0,
+    ):
+        self.net = net
+        self.schedule = schedule
+        self.config = config
+
+        n = trajs_normalized.shape[0]
+        n_val = max(1, int(round(n * val_fraction)))
+        # deterministic split (the reference random_splits 95/5 and saves the
+        # indices for reproducibility; train_loaders.py:90-97)
+        perm = np.random.RandomState(seed).permutation(n)
+        self.train_data = jnp.asarray(trajs_normalized[perm[n_val:]])
+        self.val_data = jnp.asarray(trajs_normalized[perm[:n_val]])
+
+        _, H, D = trajs_normalized.shape
+        self.H, self.D = H, D
+
+        key = jax.random.PRNGKey(seed)
+        params = net.init(
+            key, jnp.zeros((2, H, D)), jnp.zeros((2,), jnp.int32)
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.clip_grad_norm),
+            optax.adam(config.lr),
+        )
+        self.state = TrainState(
+            params=params,
+            ema_params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+        self._train_step = jax.jit(self._make_train_step())
+        self._val_loss = jax.jit(self._make_val_loss())
+
+    # ------------------------------------------------------------------
+    def _eps_fn(self, params):
+        if self.config.use_bf16:
+
+            def eps(x, t):
+                out = self.net.apply(
+                    jax.tree.map(
+                        lambda p: p.astype(jnp.bfloat16)
+                        if p.dtype == jnp.float32
+                        else p,
+                        params,
+                    ),
+                    x.astype(jnp.bfloat16),
+                    t,
+                )
+                return out.astype(jnp.float32)
+
+            return eps
+        return lambda x, t: self.net.apply(params, x, t)
+
+    def _batch_loss(self, params, batch, key):
+        hard_conds = {0: batch[:, 0, :], self.H - 1: batch[:, -1, :]}
+        return diffusion_loss(
+            self.schedule,
+            self._eps_fn(params),
+            key,
+            batch,
+            hard_conds,
+            predict_epsilon=self.config.predict_epsilon,
+            loss_type=self.config.loss_type,
+        )
+
+    def _make_train_step(self):
+        cfg = self.config
+        data = self.train_data
+        n = data.shape[0]
+
+        def step_fn(state: TrainState, key: jax.Array):
+            key_idx, key_loss = jax.random.split(key)
+            idx = jax.random.randint(key_idx, (cfg.batch_size,), 0, n)
+            batch = data[idx]
+
+            loss, grads = jax.value_and_grad(self._batch_loss)(
+                state.params, batch, key_loss
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            step = state.step + 1
+            # EMA (branch-free): hard copy until step_start_ema, then decay
+            # update every ema_update_every steps
+            do_copy = step < cfg.step_start_ema
+            do_update = (step % cfg.ema_update_every) == 0
+            beta = jnp.where(
+                do_copy, 0.0, jnp.where(do_update, cfg.ema_decay, 1.0)
+            )
+            ema_params = jax.tree.map(
+                lambda e, p: beta * e + (1.0 - beta) * p, state.ema_params, params
+            )
+            return TrainState(params, ema_params, opt_state, step), loss
+
+        return step_fn
+
+    def _make_val_loss(self):
+        def val_fn(params, key):
+            return self._batch_loss(params, self.val_data, key)
+
+        return val_fn
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        num_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        log_every: int = 1000,
+        callback: Optional[Callable[[int, Dict], None]] = None,
+        steps_per_call: int = 100,
+    ) -> Dict:
+        """Run the training loop. `steps_per_call` steps are fused into one
+        device call via lax.scan to amortize dispatch."""
+        cfg = self.config
+        num_steps = num_steps or cfg.num_train_steps
+        key = key if key is not None else jax.random.PRNGKey(42)
+
+        scan_step = self._train_step
+
+        @jax.jit
+        def multi_step(state, key):
+            keys = jax.random.split(key, steps_per_call)
+            state, losses = jax.lax.scan(scan_step, state, keys)
+            return state, losses.mean()
+
+        history = {"step": [], "train_loss": [], "val_loss": []}
+        t0 = time.perf_counter()
+        done = 0
+        while done < num_steps:
+            chunk = min(steps_per_call, num_steps - done)
+            if chunk == steps_per_call:
+                key, sub = jax.random.split(key)
+                self.state, loss = multi_step(self.state, sub)
+            else:
+                for _ in range(chunk):
+                    key, sub = jax.random.split(key)
+                    self.state, loss = self._train_step(self.state, sub)
+            done += chunk
+
+            if done % log_every < steps_per_call:
+                key, vkey = jax.random.split(key)
+                val_loss = float(self._val_loss(self.state.params, vkey))
+                history["step"].append(done)
+                history["train_loss"].append(float(loss))
+                history["val_loss"].append(val_loss)
+                if callback is not None:
+                    callback(done, {"train_loss": float(loss), "val_loss": val_loss})
+        history["elapsed_s"] = time.perf_counter() - t0
+        return history
+
+    def eps_fn_ema(self):
+        """Inference eps_fn bound to EMA params (the reference serves
+        inference from the EMA model; inference.py:145-148)."""
+        params = self.state.ema_params if self.config.use_ema else self.state.params
+        return lambda x, t: self.net.apply(params, x, t)
+
+
+def train(
+    net,
+    schedule: DiffusionSchedule,
+    trajs_normalized: jnp.ndarray,
+    config: TrainConfig = TrainConfig(),
+    **fit_kwargs,
+):
+    """One-call train loop (counterpart of mpd.trainer.train)."""
+    trainer = Trainer(net, schedule, trajs_normalized, config)
+    history = trainer.fit(**fit_kwargs)
+    return trainer, history
