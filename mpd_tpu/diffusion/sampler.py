@@ -17,6 +17,7 @@ Timestep convention (matches the reference exactly):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -27,6 +28,8 @@ from mpd_tpu.diffusion.gaussian_diffusion import (
     HardConds,
     apply_hard_conditioning,
     p_mean_variance,
+    predict_noise_from_start,
+    predict_start_from_noise,
     _gather,
 )
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
@@ -161,3 +164,80 @@ def run_sampling(
         chain = jnp.concatenate([chain0[None]] + chains, axis=0)
         return x_final, chain
     return x_final
+
+
+def run_ddim_sampling(
+    schedule: DiffusionSchedule,
+    eps_fn: EpsFn,
+    key: jax.Array,
+    shape: Tuple[int, int, int],
+    hard_conds: HardConds,
+    cfg: SamplerConfig,
+    guide_fn: Optional[GuideFn] = None,
+    sampling_timesteps: Optional[int] = None,
+    eta: float = 0.0,
+    return_chain: bool = False,
+):
+    """DDIM sampling (ref diffusion_model_base.py:184-259).
+
+    Timestep subsequence: linspace(0, T-1, T//5 + 1) ints with -1 prepended,
+    walked in reversed consecutive pairs; eta=0 makes steps deterministic
+    except the initial draw. The final (0, -1) pair returns x0_hat directly.
+    Guide steps run when t_next < t_start_guide, before noise injection.
+    x0_hat is NOT clamped here (matching the reference's DDIM path, which
+    skips the clamp used in p_mean_variance).
+    """
+    T = schedule.n_steps
+    n_sub = sampling_timesteps if sampling_timesteps is not None else max(T // 5, 1)
+    times = np.linspace(0, T - 1, n_sub + 1).astype(np.int64).tolist()
+    times = [-1] + times
+    times = list(reversed(times))
+    time_pairs = list(zip(times[:-1], times[1:]))
+
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape, schedule.betas.dtype)
+    x = apply_hard_conditioning(x, hard_conds)
+    chain = [x]
+
+    b = shape[0]
+    t_start = cfg.t_start_guide if guide_fn is not None else -(10**9)
+
+    for t_now, t_next in time_pairs:
+        t = jnp.full((b,), t_now, dtype=jnp.int32)
+        model_out = eps_fn(x, t)
+        x_start = predict_start_from_noise(
+            schedule, x, t, model_out, cfg.predict_epsilon
+        )
+        pred_noise = predict_noise_from_start(
+            schedule, x, t, model_out, cfg.predict_epsilon
+        )
+
+        if t_next < 0:
+            x = apply_hard_conditioning(x_start, hard_conds)
+            chain.append(x)
+            break
+
+        # t_now/t_next are static ints; the gathered coefficients stay traced
+        # scalars (schedule tables are jit constants/tracers in jax>=0.9)
+        alpha = schedule.alphas_cumprod[t_now]
+        alpha_next = schedule.alphas_cumprod[t_next]
+        sigma = eta * jnp.sqrt(
+            jnp.maximum((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0)
+        )
+        c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+        x = x_start * jnp.sqrt(alpha_next) + c * pred_noise
+
+        if guide_fn is not None and t_next < t_start:
+            x = guide_gradient_steps(
+                x, hard_conds, guide_fn, n_guide_steps=cfg.n_guide_steps
+            )
+
+        if eta > 0.0:  # static: eta is a Python float
+            key, sub = jax.random.split(key)
+            x = x + sigma * jax.random.normal(sub, x.shape, x.dtype)
+        x = apply_hard_conditioning(x, hard_conds)
+        chain.append(x)
+
+    if return_chain:
+        return x, jnp.stack(chain, axis=0)
+    return x
