@@ -28,6 +28,9 @@ from mpd_tpu.world.robots import get_robot
 from mpd_tpu.world.task import PlanningTask
 
 
+_GPMP2_CACHE = {}
+
+
 def make_host_collision_fn(env, robot, margin: float):
     """NumPy q [N, dof] -> in-collision bool [N] for the host-side RRT."""
     radii = np.asarray(robot.collision_sphere_radii, dtype=np.float64)
@@ -96,31 +99,57 @@ def generate_context(
     if start is None:
         raise ValueError("could not sample a valid start/goal pair")
 
-    # ---- RRT-Connect seeds (ref :71-89)
+    # ---- RRT-Connect seeds (ref :71-89); native C++ planner when available
     rrt_params = env.get_rrt_connect_params(robot)
     rrt_params["max_time"] = rrt_max_time
+    from mpd_tpu.native import NativeRRTConnect, native_available
+
     paths = []
     for i in range(num_trajectories):
-        planner = RRTConnect(
-            collision_fn,
-            np.asarray(robot.q_min),
-            np.asarray(robot.q_max),
-            step_size=rrt_params["step_size"],
-            n_iters=rrt_params["n_iters"],
-            max_time=rrt_params["max_time"],
-            seed=seed * 1000 + i,
-        )
+        if native_available():
+            planner = NativeRRTConnect(
+                robot,
+                env.objects,
+                margin=obstacle_cutoff_margin,
+                step_size=rrt_params["step_size"],
+                n_iters=rrt_params["n_iters"],
+                max_time=rrt_params["max_time"],
+                seed=seed * 1000 + i,
+            )
+        else:
+            planner = RRTConnect(
+                collision_fn,
+                np.asarray(robot.q_min),
+                np.asarray(robot.q_max),
+                step_size=rrt_params["step_size"],
+                n_iters=rrt_params["n_iters"],
+                max_time=rrt_params["max_time"],
+                seed=seed * 1000 + i,
+            )
         path = planner.plan(start, goal)
         if path is not None:
             paths.append(path)
     if not paths:
         raise RuntimeError("RRT-Connect found no path for this context")
 
-    # ---- batched GPMP2 smoothing (ref :92-119)
+    # ---- batched GPMP2 smoothing (ref :92-119). Pad the seed batch to a
+    # fixed size by cycling found paths: one static [num_trajectories, H, 2q]
+    # shape means GPMP2 compiles once across all contexts (the duplicated
+    # seeds diversify through the obstacle gradients anyway).
+    n_found = len(paths)
+    while len(paths) < num_trajectories:
+        paths.append(paths[len(paths) % n_found])
     theta0 = seeds_from_paths(paths, n_support_points, dt)
     gpmp_params = env.get_gpmp2_params(robot)
     gpmp_params["opt_iters"] = gpmp_opt_iters
-    gpmp = GPMP2(robot, task, n_support_points=n_support_points, dt=dt, **gpmp_params)
+    # cache the GPMP2 instance (and its jitted optimizer) across contexts of
+    # the same task — with padded seed batches this compiles exactly once
+    cache_key = (env_id, robot_id, n_support_points, round(dt, 9),
+                 tuple(sorted(gpmp_params.items())), obstacle_cutoff_margin)
+    gpmp = _GPMP2_CACHE.get(cache_key)
+    if gpmp is None:
+        gpmp = GPMP2(robot, task, n_support_points=n_support_points, dt=dt, **gpmp_params)
+        _GPMP2_CACHE[cache_key] = gpmp
     trajs = np.asarray(gpmp.optimize(theta0))
 
     # ---- split free / collision (ref :128-135)

@@ -34,9 +34,16 @@ def build_gp_precision(
     dt: float,
     sigma_gp: float,
     lam: float = 1.0,
+    sigma_endpoints: float = 1e-3,
 ) -> np.ndarray:
     """Per-dof Gauss-Newton matrix of the GP factors, ordering
-    [q_0..q_{H-1}, v_0..v_{H-1}], shape [2H, 2H]."""
+    [q_0..q_{H-1}, v_0..v_{H-1}], shape [2H, 2H].
+
+    Start/goal carry tight priors (1/sigma_endpoints^2 on their q and v
+    diagonals): the solver then produces near-zero endpoint updates, keeping
+    the Newton direction consistent with the hard pinning applied after each
+    iteration (without them, interior steps assume the endpoints move and the
+    GP objective diverges)."""
     n = 2 * H
     M = np.zeros((n, n), dtype=np.float64)
     Qi = np.array(
@@ -50,6 +57,10 @@ def build_gp_precision(
         J[1, H + t] = -1.0
         J[1, H + t + 1] = 1.0
         M += J.T @ Qi @ J
+    w_end = 1.0 / sigma_endpoints**2
+    for idx in (0, H - 1):
+        M[idx, idx] += w_end  # position prior
+        M[H + idx, H + idx] += w_end  # velocity prior
     M += lam * np.eye(n)
     return M
 

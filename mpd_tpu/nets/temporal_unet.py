@@ -37,50 +37,88 @@ UNET_DIM_MULTS = {
 
 
 class TemporalUnet(nn.Module):
+    """Conditioning modes (ref temporal_unet.py:41-59):
+    - None (live reference config): time embedding only
+    - 'default': context vector concatenated into the per-block conditioning
+    - 'attention': cross-attention to the context at every level
+    - 'concatenate': context broadcast along the horizon and concatenated to
+      the state input channels
+    """
+
     state_dim: int
     n_support_points: int = 64
     unet_input_dim: int = 32
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
     time_emb_dim: int = 32
     self_attention: bool = False
+    conditioning_type: Optional[str] = None
+    conditioning_embed_dim: int = 4
+    attention_num_heads: int = 2
+    attention_dim_head: int = 32
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,  # [B, H, D]
         time: jnp.ndarray,  # [B] int timesteps
-        context: Optional[jnp.ndarray] = None,
+        context: Optional[jnp.ndarray] = None,  # [B, C]
     ) -> jnp.ndarray:
-        del context  # live reference path uses conditioning_type=None
-        dims = [self.state_dim] + [self.unet_input_dim * m for m in self.dim_mults]
+        from mpd_tpu.nets.attention import SpatialTransformer
+
+        cond_type = self.conditioning_type
+        if cond_type in (None, "None"):
+            cond_type = None
+            context = None
+
+        input_dim = self.state_dim
+        if cond_type == "concatenate":
+            assert context is not None
+            ctx_h = jnp.broadcast_to(
+                context[:, None, :], (x.shape[0], x.shape[1], context.shape[-1])
+            )
+            x = jnp.concatenate([x, ctx_h], axis=-1)
+            input_dim = input_dim + context.shape[-1]
+
+        dims = [input_dim] + [self.unet_input_dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         n_levels = len(in_out)
 
         c_emb = TimeEncoder(32, self.time_emb_dim)(time)
+        if cond_type == "default":
+            assert context is not None
+            c_emb = jnp.concatenate([c_emb, context], axis=-1)
+        ctx_seq = context[:, None, :] if (cond_type == "attention" and context is not None) else None
+
+        def attn(dim, h):
+            if self.self_attention:
+                h = PreNormResidualAttention(dim)(h)
+            if cond_type == "attention":
+                h = SpatialTransformer(
+                    dim, self.attention_num_heads, self.attention_dim_head,
+                    context_dim=self.conditioning_embed_dim,
+                )(h, context=ctx_seq)
+            return h
 
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= n_levels - 1
             x = ResidualTemporalBlock(dim_out)(x, c_emb)
             x = ResidualTemporalBlock(dim_out)(x, c_emb)
-            if self.self_attention:
-                x = PreNormResidualAttention(dim_out)(x)
+            x = attn(dim_out, x)
             skips.append(x)
             if not is_last:
                 x = Downsample1d(dim_out)(x)
 
         mid_dim = dims[-1]
         x = ResidualTemporalBlock(mid_dim)(x, c_emb)
-        if self.self_attention:
-            x = PreNormResidualAttention(mid_dim)(x)
+        x = attn(mid_dim, x)
         x = ResidualTemporalBlock(mid_dim)(x, c_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResidualTemporalBlock(dim_in)(x, c_emb)
             x = ResidualTemporalBlock(dim_in)(x, c_emb)
-            if self.self_attention:
-                x = PreNormResidualAttention(dim_in)(x)
+            x = attn(dim_in, x)
             x = Upsample1d(dim_in)(x)
 
         x = Conv1dBlock(self.unet_input_dim, kernel_size=5)(x)

@@ -1,0 +1,91 @@
+"""Network tests: U-Net shapes/param counts across configs, conditioning
+modes, attention stack, visualizer smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpd_tpu.nets.layers import group_norm_n_groups, mish
+from mpd_tpu.nets.temporal_unet import UNET_DIM_MULTS, TemporalUnet
+
+
+def _init_and_run(net, H, D, context=None, C=None):
+    B = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, D))
+    t = jnp.asarray([0, 5, 24], jnp.int32)
+    ctx = None if context is None else jax.random.normal(jax.random.PRNGKey(1), (B, C))
+    params = net.init(jax.random.PRNGKey(2), x, t, ctx)
+    out = net.apply(params, x, t, ctx)
+    return params, out
+
+
+def test_unet_shapes_both_mult_options():
+    for opt, mults in UNET_DIM_MULTS.items():
+        for D in (4, 14):  # point-mass and Panda state dims
+            net = TemporalUnet(state_dim=D, n_support_points=64, dim_mults=mults)
+            _, out = _init_and_run(net, 64, D)
+            assert out.shape == (3, 64, D)
+
+
+def test_unet_param_count_plausible():
+    # dim 32, mults (1,2,4,8): the reference model is ~4M params; ours should
+    # be the same order of magnitude
+    net = TemporalUnet(state_dim=4, n_support_points=64, dim_mults=(1, 2, 4, 8))
+    params, _ = _init_and_run(net, 64, 4)
+    n = sum(p.size for p in jax.tree.leaves(params))
+    assert 1_000_000 < n < 10_000_000
+
+
+def test_unet_conditioning_modes():
+    C = 4
+    for mode in ("default", "attention", "concatenate"):
+        net = TemporalUnet(
+            state_dim=4, n_support_points=32, unet_input_dim=16, dim_mults=(1, 2),
+            conditioning_type=mode, conditioning_embed_dim=C,
+        )
+        _, out = _init_and_run(net, 32, 4, context=True, C=C)
+        assert out.shape == (3, 32, 4), mode
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_self_attention_path():
+    net = TemporalUnet(state_dim=4, n_support_points=32, unet_input_dim=16,
+                       dim_mults=(1, 2), self_attention=True)
+    _, out = _init_and_run(net, 32, 4)
+    assert out.shape == (3, 32, 4)
+
+
+def test_group_norm_n_groups_rule():
+    assert group_norm_n_groups(32) == 8
+    assert group_norm_n_groups(4) == 1
+    assert group_norm_n_groups(33) == 11
+    assert group_norm_n_groups(31) == 1
+
+
+def test_mish_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.linspace(-5, 5, 101, dtype=np.float32)
+    expected = torch.nn.functional.mish(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(mish(jnp.asarray(x))), expected, atol=1e-6)
+
+
+def test_visualizer_smoke(tmp_path):
+    from mpd_tpu.viz import PlanningVisualizer
+    from mpd_tpu.world import PlanningTask, get_env, get_robot
+
+    task = PlanningTask(env=get_env("EnvDense2D"), robot=get_robot("RobotPointMass"))
+    viz = PlanningVisualizer(task)
+    trajs = np.random.RandomState(0).uniform(-0.9, 0.9, (4, 16, 2))
+    fig, _ = viz.render_robot_trajectories(trajs=trajs, start_state=trajs[0, 0], goal_state=trajs[0, -1])
+    fig.savefig(tmp_path / "render.png")
+    fig2, _ = viz.plot_joint_space_state_trajectories(
+        np.concatenate([trajs, trajs], axis=-1), pos_start_state=trajs[0, 0]
+    )
+    fig2.savefig(tmp_path / "joint.png")
+    out = viz.animate_robot_trajectories(
+        trajs=trajs, start_state=trajs[0, 0], goal_state=trajs[0, -1],
+        video_filepath=str(tmp_path / "anim.mp4"), n_frames=4,
+    )
+    import os
+    assert any(os.path.exists(str(tmp_path / f"anim.{ext}")) for ext in ("mp4", "gif"))
