@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Aggregate planning evaluation: N queries per trained model, metrics to csv.
+
+The quality-parity harness for BASELINE.md: success rate, fraction free,
+collision intensity, smoothness, path length, variance and p50 latency over
+many random start/goal queries (the reference evaluates the same metric
+block per query, inference.py:292-327).
+
+Example:
+  python scripts/evaluate.py --model-dir data_trained_models/EnvSimple2D-RobotPointMass \
+      --n-queries 20 --out results_eval/EnvSimple2D
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--n-samples", type=int, default=50)
+    p.add_argument("--planner-alg", default="mpd")
+    p.add_argument("--weight-grad-cost-collision", type=float, default=1e-2)
+    p.add_argument("--use-extra-objects", type=int, default=1)
+    p.add_argument("--out", default=None)
+    p.add_argument("--seed", type=int, default=30)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from mpd_tpu.data import TrajectoryDataset
+    from mpd_tpu.diffusion import make_schedule
+    from mpd_tpu.nets.temporal_unet import UNET_DIM_MULTS, TemporalUnet
+    from mpd_tpu.planner import MotionPlanner, PlannerConfig
+    from mpd_tpu.train import TrainConfig, Trainer, load_checkpoint
+    from mpd_tpu.utils import save_metrics
+
+    with open(os.path.join(args.model_dir, "args.yaml")) as f:
+        margs = yaml.safe_load(f)
+
+    ds = TrajectoryDataset(
+        base_dir=margs["data_dir"],
+        include_velocity=margs["include_velocity"],
+        use_extra_objects=bool(args.use_extra_objects),
+        obstacle_cutoff_margin=0.05,
+    )
+    net = TemporalUnet(
+        state_dim=margs["state_dim"],
+        n_support_points=margs["n_support_points"],
+        unet_input_dim=margs["unet_input_dim"],
+        dim_mults=UNET_DIM_MULTS[margs["unet_dim_mults_option"]],
+    )
+    trainer = Trainer(
+        net, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
+        ds.trajs_normalized, TrainConfig(), seed=0,
+    )
+    state, step = load_checkpoint(args.model_dir, trainer.state)
+    params = state.ema_params if margs.get("use_ema", True) else state.params
+    planner = MotionPlanner(
+        ds,
+        make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
+        lambda x, t: net.apply(params, x, t),
+        PlannerConfig(
+            planner_alg=args.planner_alg,
+            n_samples=args.n_samples,
+            weight_grad_cost_collision=args.weight_grad_cost_collision,
+        ),
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    results = []
+    for q in range(args.n_queries):
+        key, k1, k2 = jax.random.split(key, 3)
+        for _ in range(100):
+            k1, sub = jax.random.split(k1)
+            qs = ds.task.random_coll_free_q(sub, n_samples=2)
+            if float(jnp.linalg.norm(qs[0] - qs[1])) > ds.threshold_start_goal_pos:
+                break
+        res = planner.plan(k2, qs[0], qs[1])
+        row = {
+            "success": res.success,
+            "fraction_free": res.fraction_free,
+            "collision_intensity": res.collision_intensity,
+            "t_total": res.t_total,
+            "cost_best": res.cost_best,
+            "cost_smoothness": None if res.cost_smoothness is None else float(np.mean(res.cost_smoothness)),
+            "cost_path_length": None if res.cost_path_length is None else float(np.mean(res.cost_path_length)),
+            "variance_waypoints": res.variance_waypoints,
+        }
+        results.append(row)
+        print(f"[q {q}] success {res.success} free {res.fraction_free:.2f} "
+              f"coll_int {res.collision_intensity:.4f} t {res.t_total*1000:.0f}ms", flush=True)
+
+    # drop the compile query from latency stats but keep its quality metrics
+    lat = [r["t_total"] for r in results[1:]] or [results[0]["t_total"]]
+    agg = {
+        "success_rate": float(np.mean([r["success"] for r in results])),
+        "fraction_free": float(np.mean([r["fraction_free"] for r in results])),
+        "collision_intensity": float(np.mean([r["collision_intensity"] for r in results])),
+        "t_p50_ms": float(np.median(lat) * 1000),
+    }
+    print("\nAGGREGATE:", agg)
+
+    out = args.out or os.path.join(args.model_dir, "results_eval")
+    save_metrics(results, out, name=f"eval_{args.planner_alg}")
+    with open(os.path.join(out, "aggregate.yaml"), "w") as f:
+        yaml.safe_dump({**agg, "n_queries": args.n_queries, "checkpoint_step": int(step)}, f)
+
+
+if __name__ == "__main__":
+    main()
