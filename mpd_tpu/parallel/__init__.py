@@ -5,3 +5,9 @@ from mpd_tpu.parallel.mesh import (
     sharded_train_step,
     sharded_sampler,
 )
+from mpd_tpu.parallel.distributed import (
+    initialize,
+    shard_contexts,
+    all_reduce_metrics,
+    global_best_trajectory,
+)
