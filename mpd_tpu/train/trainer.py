@@ -51,7 +51,10 @@ class TrainConfig:
     steps_til_summary: int = 20_000
     steps_til_checkpoint: int = 50_000
     use_bf16: bool = False
+    # stop when val loss hasn't improved for this many validation checks
+    # (ref EarlyStopper, trainer.py:45-64; -1 disables, the ref default)
     early_stopper_patience: int = -1
+    early_stopper_min_delta: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -197,6 +200,8 @@ class Trainer:
             return state, losses.mean()
 
         history = {"step": [], "train_loss": [], "val_loss": []}
+        best_val = float("inf")
+        stall = 0
         t0 = time.perf_counter()
         done = 0
         while done < num_steps:
@@ -218,6 +223,15 @@ class Trainer:
                 history["val_loss"].append(val_loss)
                 if callback is not None:
                     callback(done, {"train_loss": float(loss), "val_loss": val_loss})
+                if cfg.early_stopper_patience >= 0:
+                    if val_loss < best_val - cfg.early_stopper_min_delta:
+                        best_val = val_loss
+                        stall = 0
+                    else:
+                        stall += 1
+                        if stall > cfg.early_stopper_patience:
+                            history["early_stopped"] = True
+                            break
         history["elapsed_s"] = time.perf_counter() - t0
         return history
 

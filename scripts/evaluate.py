@@ -34,10 +34,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
-    if args.cpu:
-        import jax
+    from mpd_tpu.core import setup_runtime
 
-        jax.config.update("jax_platforms", "cpu")
+    setup_runtime(cpu=args.cpu)
     import jax
     import jax.numpy as jnp
 

@@ -36,10 +36,9 @@ def main():
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
 
-    if args.cpu:
-        import jax
+    from mpd_tpu.core import setup_runtime
 
-        jax.config.update("jax_platforms", "cpu")
+    setup_runtime(cpu=args.cpu)
 
     from mpd_tpu.data.datagen import generate_context
 
