@@ -31,6 +31,8 @@ def main():
     p.add_argument("--use-extra-objects", type=int, default=1)
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the eps-model in bfloat16 (params + activations)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -68,6 +70,10 @@ def main():
     )
     state, step = load_checkpoint(args.model_dir, trainer.state)
     params = state.ema_params if margs.get("use_ema", True) else state.params
+    if args.bf16:
+        params = jax.tree.map(
+            lambda p_: p_.astype(jnp.bfloat16) if p_.dtype == jnp.float32 else p_, params
+        )
     planner = MotionPlanner(
         ds,
         make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
@@ -76,6 +82,7 @@ def main():
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,
             weight_grad_cost_collision=args.weight_grad_cost_collision,
+            use_bf16=args.bf16,
         ),
     )
 
