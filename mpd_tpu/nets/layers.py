@@ -34,6 +34,7 @@ class SinusoidalPosEmb(nn.Module):
     """Transformer-style sinusoidal embedding (ref layers.py:243-255)."""
 
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -41,7 +42,8 @@ class SinusoidalPosEmb(nn.Module):
         scale = math.log(10000.0) / (half_dim - 1)
         freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
         emb = x.astype(jnp.float32)[:, None] * freqs[None, :]
-        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+        out = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+        return out.astype(self.dtype)
 
 
 class TimeEncoder(nn.Module):
@@ -49,13 +51,14 @@ class TimeEncoder(nn.Module):
 
     dim: int = 32
     dim_out: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
-        emb = SinusoidalPosEmb(self.dim)(t)
-        emb = nn.Dense(self.dim * 4)(emb)
+        emb = SinusoidalPosEmb(self.dim, dtype=self.dtype)(t)
+        emb = nn.Dense(self.dim * 4, dtype=self.dtype)(emb)
         emb = mish(emb)
-        return nn.Dense(self.dim_out)(emb)
+        return nn.Dense(self.dim_out, dtype=self.dtype)(emb)
 
 
 class Conv1dBlock(nn.Module):
@@ -63,11 +66,14 @@ class Conv1dBlock(nn.Module):
 
     out_channels: int
     kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.out_channels, kernel_size=(self.kernel_size,), padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=group_norm_n_groups(self.out_channels))(x)
+        x = nn.Conv(self.out_channels, kernel_size=(self.kernel_size,),
+                    padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=group_norm_n_groups(self.out_channels),
+                         dtype=self.dtype)(x)
         return mish(x)
 
 
@@ -75,20 +81,24 @@ class Downsample1d(nn.Module):
     """Strided conv halving the horizon (ref layers.py:258-264)."""
 
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.channels, kernel_size=(3,), strides=(2,), padding="SAME")(x)
+        return nn.Conv(self.channels, kernel_size=(3,), strides=(2,),
+                       padding="SAME", dtype=self.dtype)(x)
 
 
 class Upsample1d(nn.Module):
     """Transposed conv doubling the horizon (ref layers.py:267-273)."""
 
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.ConvTranspose(self.channels, kernel_size=(4,), strides=(2,), padding="SAME")(x)
+        return nn.ConvTranspose(self.channels, kernel_size=(4,), strides=(2,),
+                                padding="SAME", dtype=self.dtype)(x)
 
 
 class ResidualTemporalBlock(nn.Module):
@@ -97,15 +107,16 @@ class ResidualTemporalBlock(nn.Module):
 
     out_channels: int
     kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
-        h = Conv1dBlock(self.out_channels, self.kernel_size)(x)
-        cond_bias = nn.Dense(self.out_channels)(mish(cond))
+        h = Conv1dBlock(self.out_channels, self.kernel_size, dtype=self.dtype)(x)
+        cond_bias = nn.Dense(self.out_channels, dtype=self.dtype)(mish(cond))
         h = h + cond_bias[:, None, :]
-        h = Conv1dBlock(self.out_channels, self.kernel_size)(h)
+        h = Conv1dBlock(self.out_channels, self.kernel_size, dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
-            res = nn.Conv(self.out_channels, kernel_size=(1,))(x)
+            res = nn.Conv(self.out_channels, kernel_size=(1,), dtype=self.dtype)(x)
         else:
             res = x
         return h + res

@@ -55,6 +55,9 @@ class TemporalUnet(nn.Module):
     conditioning_embed_dim: int = 4
     attention_num_heads: int = 2
     attention_dim_head: int = 32
+    # computation dtype (params stay float32; bfloat16 here runs the convs
+    # and matmuls MXU-native). The final 1x1 projection always emits float32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -83,7 +86,8 @@ class TemporalUnet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         n_levels = len(in_out)
 
-        c_emb = TimeEncoder(32, self.time_emb_dim)(time)
+        x = x.astype(self.dtype)
+        c_emb = TimeEncoder(32, self.time_emb_dim, dtype=self.dtype)(time)
         if cond_type == "default":
             assert context is not None
             c_emb = jnp.concatenate([c_emb, context], axis=-1)
@@ -102,25 +106,27 @@ class TemporalUnet(nn.Module):
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= n_levels - 1
-            x = ResidualTemporalBlock(dim_out)(x, c_emb)
-            x = ResidualTemporalBlock(dim_out)(x, c_emb)
+            x = ResidualTemporalBlock(dim_out, dtype=self.dtype)(x, c_emb)
+            x = ResidualTemporalBlock(dim_out, dtype=self.dtype)(x, c_emb)
             x = attn(dim_out, x)
             skips.append(x)
             if not is_last:
-                x = Downsample1d(dim_out)(x)
+                x = Downsample1d(dim_out, dtype=self.dtype)(x)
 
         mid_dim = dims[-1]
-        x = ResidualTemporalBlock(mid_dim)(x, c_emb)
+        x = ResidualTemporalBlock(mid_dim, dtype=self.dtype)(x, c_emb)
         x = attn(mid_dim, x)
-        x = ResidualTemporalBlock(mid_dim)(x, c_emb)
+        x = ResidualTemporalBlock(mid_dim, dtype=self.dtype)(x, c_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResidualTemporalBlock(dim_in)(x, c_emb)
-            x = ResidualTemporalBlock(dim_in)(x, c_emb)
+            x = ResidualTemporalBlock(dim_in, dtype=self.dtype)(x, c_emb)
+            x = ResidualTemporalBlock(dim_in, dtype=self.dtype)(x, c_emb)
             x = attn(dim_in, x)
-            x = Upsample1d(dim_in)(x)
+            x = Upsample1d(dim_in, dtype=self.dtype)(x)
 
-        x = Conv1dBlock(self.unet_input_dim, kernel_size=5)(x)
-        x = nn.Conv(self.state_dim, kernel_size=(1,))(x)
+        x = Conv1dBlock(self.unet_input_dim, kernel_size=5, dtype=self.dtype)(x)
+        x = nn.Conv(self.state_dim, kernel_size=(1,), dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
         return x

@@ -51,9 +51,6 @@ class PlannerConfig:
     trajectory_duration: float = 5.0
     use_guide_on_extra_objects_only: bool = False
     noise_std_extra: float = 0.5
-    # run the eps-model in bfloat16 (MXU-native); the chain state, guide
-    # gradients and coefficient tables stay float32
-    use_bf16: bool = False
 
 
 @dataclasses.dataclass
@@ -84,12 +81,9 @@ class MotionPlanner:
     ):
         self.dataset = dataset
         self.schedule = schedule
-        if config.use_bf16:
-            _eps_f32 = eps_fn
-
-            def eps_fn(x, t, _f=_eps_f32):  # noqa: F811
-                return _f(x.astype(jnp.bfloat16), t).astype(jnp.float32)
-
+        # bf16 inference: construct the TemporalUnet with dtype=jnp.bfloat16
+        # and pass its bound apply here — the chain state, guide gradients and
+        # coefficient tables stay float32 regardless.
         self.eps_fn = eps_fn
         self.config = config
 

@@ -110,21 +110,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _eps_fn(self, params):
         if self.config.use_bf16:
-
-            def eps(x, t):
-                out = self.net.apply(
-                    jax.tree.map(
-                        lambda p: p.astype(jnp.bfloat16)
-                        if p.dtype == jnp.float32
-                        else p,
-                        params,
-                    ),
-                    x.astype(jnp.bfloat16),
-                    t,
-                )
-                return out.astype(jnp.float32)
-
-            return eps
+            net_bf16 = self.net.clone(dtype=jnp.bfloat16)
+            return lambda x, t: net_bf16.apply(params, x, t)
         return lambda x, t: self.net.apply(params, x, t)
 
     def _batch_loss(self, params, batch, key):

@@ -63,6 +63,7 @@ def main():
         n_support_points=margs["n_support_points"],
         unet_input_dim=margs["unet_input_dim"],
         dim_mults=UNET_DIM_MULTS[margs["unet_dim_mults_option"]],
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     trainer = Trainer(
         net, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
@@ -70,10 +71,6 @@ def main():
     )
     state, step = load_checkpoint(args.model_dir, trainer.state)
     params = state.ema_params if margs.get("use_ema", True) else state.params
-    if args.bf16:
-        params = jax.tree.map(
-            lambda p_: p_.astype(jnp.bfloat16) if p_.dtype == jnp.float32 else p_, params
-        )
     planner = MotionPlanner(
         ds,
         make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
@@ -82,7 +79,6 @@ def main():
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,
             weight_grad_cost_collision=args.weight_grad_cost_collision,
-            use_bf16=args.bf16,
         ),
     )
 

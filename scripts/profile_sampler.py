@@ -9,10 +9,13 @@ Times the guided query's components at a given batch size:
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, n=10):
@@ -105,13 +108,13 @@ def main():
         x, _ = jax.lax.scan(body, x, None, length=30)
         return x
 
-    params_bf16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    net_bf16 = net.clone(dtype=jnp.bfloat16)
 
     @jax.jit
     def unet30_bf16(x):
         def body(x, _):
-            return net.apply(params_bf16, x.astype(jnp.bfloat16), t_arr).astype(jnp.float32), None
-        x, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=30)
+            return net_bf16.apply(params, x, t_arr), None
+        x, _ = jax.lax.scan(body, x, None, length=30)
         return x
 
     t_f32 = timeit(lambda: unet30_f32(x0))
