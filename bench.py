@@ -112,7 +112,7 @@ def main():
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
-    B_big = 512
+    B_big = 2048
     log(f"compiling large-batch query (B={B_big})...")
     q_big = build_query(B_big)
     t_big = time_query(q_big, n_iters=10)

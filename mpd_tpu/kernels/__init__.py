@@ -1,0 +1,5 @@
+from mpd_tpu.kernels.fused_unet import (
+    fused_residual_temporal_block,
+    pallas_unet_apply,
+    pallas_available,
+)
