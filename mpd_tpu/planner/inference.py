@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from mpd_tpu.costs.cost_functions import CostCollision, CostComposite, CostGPTrajectory
 from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
 from mpd_tpu.diffusion.gaussian_diffusion import HardConds
-from mpd_tpu.diffusion.sampler import SamplerConfig, run_sampling
+from mpd_tpu.diffusion.sampler import SamplerConfig, run_ddim_sampling, run_sampling
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
 from mpd_tpu.data.dataset import TrajectoryDataset
 from mpd_tpu.world.task import (
@@ -51,6 +51,9 @@ class PlannerConfig:
     trajectory_duration: float = 5.0
     use_guide_on_extra_objects_only: bool = False
     noise_std_extra: float = 0.5
+    # DDIM subsequence sampling instead of the full DDPM chain
+    # (ref diffusion_model_base.py:184-259; selectable at inference.py:256)
+    use_ddim: bool = False
 
 
 @dataclasses.dataclass
@@ -143,10 +146,16 @@ class MotionPlanner:
         )
 
         def _query(key: jax.Array, hard_conds: HardConds):
-            x_final, chain = run_sampling(
-                schedule, eps_fn, key, (B, H, D), hard_conds,
-                self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
-            )
+            if config.use_ddim:
+                x_final, chain = run_ddim_sampling(
+                    schedule, eps_fn, key, (B, H, D), hard_conds,
+                    self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
+                )
+            else:
+                x_final, chain = run_sampling(
+                    schedule, eps_fn, key, (B, H, D), hard_conds,
+                    self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
+                )
             if n_post_steps:
                 # pure guide refinement after the prior chain
                 # (ref inference.py:263-282)

@@ -40,6 +40,9 @@ def main():
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--results-dir", default=None)
     p.add_argument("--n-queries", type=int, default=1)
+    p.add_argument("--use-ddim", action="store_true")
+    p.add_argument("--render", action="store_true",
+                   help="save trajectory figures + denoise-chain animation")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -96,6 +99,7 @@ def main():
             weight_grad_cost_collision=args.weight_grad_cost_collision,
             weight_grad_cost_smoothness=args.weight_grad_cost_smoothness,
             trajectory_duration=args.trajectory_duration,
+            use_ddim=args.use_ddim,
         ),
     )
 
@@ -108,7 +112,7 @@ def main():
             qs = ds.task.random_coll_free_q(sub, n_samples=2)
             if float(jnp.linalg.norm(qs[0] - qs[1])) > ds.threshold_start_goal_pos:
                 break
-        res = planner.plan(k2, qs[0], qs[1], return_chain=False)
+        res = planner.plan(k2, qs[0], qs[1], return_chain=args.render)
 
         print("\n----------------METRICS----------------")
         print(f"t_total: {res.t_total:.3f} sec")
@@ -121,6 +125,28 @@ def main():
             print(f"cost best: {res.cost_best:.3f}")
             print(f"variance waypoint: {res.variance_waypoints:.4f}")
         print("--------------------------------------\n")
+
+        if args.render:
+            from mpd_tpu.viz import PlanningVisualizer
+
+            out = os.path.join(args.results_dir or args.model_dir, "results_inference", str(args.seed))
+            os.makedirs(out, exist_ok=True)
+            viz = PlanningVisualizer(ds.task)
+            pos = ds.robot.get_position(res.trajs_final)
+            best = None if res.idx_best is None else pos[res.idx_best]
+            fig, _ = viz.render_robot_trajectories(
+                trajs=pos, start_state=qs[0], goal_state=qs[1], traj_best=best)
+            fig.savefig(os.path.join(out, f"trajs_q{q}.png"), dpi=120)
+            fig2, _ = viz.plot_joint_space_state_trajectories(
+                res.trajs_final, pos_start_state=qs[0], pos_goal_state=qs[1])
+            fig2.savefig(os.path.join(out, f"joint_space_q{q}.png"), dpi=120)
+            if ds.robot.ws_dim == 2 and res.trajs_chain is not None:
+                chain_pos = ds.robot.get_position(res.trajs_chain)
+                viz.animate_opt_iters_robots(
+                    trajs=chain_pos, start_state=qs[0], goal_state=qs[1],
+                    traj_best=best,
+                    video_filepath=os.path.join(out, f"opt_iters_q{q}.mp4"))
+            print(f"renders saved under {out}")
 
         if args.results_dir:
             out = os.path.join(args.results_dir, str(args.seed))
