@@ -4,4 +4,4 @@ from mpd_tpu.costs.cost_functions import (
     CostComposite,
     gp_const_vel_trajectory,
 )
-from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity, GuideTrajectoriesPositionOnly

@@ -88,3 +88,50 @@ class GuideTrajectoriesWithVelocity:
             grad_total = grad_total + weight * grad_cost
 
         return -1.0 * grad_total
+
+
+class GuideTrajectoriesPositionOnly(GuideTrajectoriesWithVelocity):
+    """Guide for position-only diffusion models (include_velocity=False).
+
+    Counterpart of the reference's GuideManagerTrajectories
+    (reference: mpd/models/diffusion_models/guides.py:15-146), which guides a
+    position-only model while the costs need full [q, dq] states: the
+    reference keeps a mutable velocity trajectory as member state (seeded
+    from a constant-velocity prior, updated by its own gradient slice). In
+    this functional design the velocity channel is reconstructed from the
+    current positions by central finite differences each call — same
+    information flow without hidden state; only the position slice of the
+    cost gradient is returned (the reference applies the velocity slice to
+    its internal member, not to the sampled state).
+    """
+
+    def __init__(self, *args, dt: float = 5.0 / 64, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.dt = float(dt)
+
+    def __call__(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
+        q_phys = self.unnormalize_fn(x_normalized)  # [B, H, q]
+        vel = jnp.gradient(q_phys, axis=-2) / self.dt
+        vel = vel.at[..., 0, :].set(0.0)
+        vel = vel.at[..., -1, :].set(0.0)
+
+        q_dim = q_phys.shape[-1]
+
+        def term_cost(q, idx):
+            x_full = jnp.concatenate([q, vel], axis=-1)
+            x_interp = (
+                interpolate_points(x_full, self.num_interp)
+                if self.interpolate
+                else x_full
+            )
+            return jnp.sum(self.cost.cost_list[idx](x_full, x_interp))
+
+        grad_total = jnp.zeros_like(q_phys)
+        for idx, weight in enumerate(self.cost.weights):
+            grad_cost = jax.grad(term_cost)(q_phys, idx)[..., :q_dim]
+            grad_cost = self._clip_gradient(grad_cost)
+            grad_cost = grad_cost.at[..., 0, :].set(0.0)
+            grad_cost = grad_cost.at[..., -1, :].set(0.0)
+            grad_total = grad_total + weight * grad_cost
+
+        return -1.0 * grad_total

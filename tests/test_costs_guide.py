@@ -123,3 +123,27 @@ def test_const_vel_trajectory_shape_and_endpoints():
     np.testing.assert_allclose(np.asarray(tr[0, 2:]), 0.0)  # zeroed endpoint vel
     # interior velocity = (goal-start)/((H-1)dt)
     np.testing.assert_allclose(np.asarray(tr[5, 2:]), np.asarray([1.0, 2.0]) / 1.5, rtol=1e-5)
+
+
+def test_position_only_guide(world):
+    from mpd_tpu.costs import GuideTrajectoriesPositionOnly
+
+    env, robot = world
+    H = 8
+    norm = LimitsNormalizer(mins=jnp.full((2,), -1.0), maxs=jnp.ones((2,)))
+    comp = CostComposite(
+        robot, H,
+        [CostCollision(robot, H, field=env.objects, cutoff_margin=0.03),
+         CostGPTrajectory(robot, H, 5.0 / H)],
+        weights_cost_l=[1e-2, 1e-7],
+    )
+    guide = GuideTrajectoriesPositionOnly(
+        unnormalize_fn=norm.unnormalize, cost=comp, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=16, dt=5.0 / H,
+    )
+    x = jnp.asarray(np.random.RandomState(0).uniform(-0.9, 0.9, (3, H, 2)), jnp.float32)
+    out = jax.jit(guide.__call__)(x)
+    assert out.shape == (3, H, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.all(np.asarray(out[:, 0]) == 0) and np.all(np.asarray(out[:, -1]) == 0)
