@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from mpd_tpu.costs.cost_functions import CostCollision, CostComposite, CostGPTrajectory
-from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+from mpd_tpu.costs.guide import (
+    GuideTrajectoriesPositionOnly,
+    GuideTrajectoriesWithVelocity,
+)
 from mpd_tpu.diffusion.gaussian_diffusion import HardConds
 from mpd_tpu.diffusion.sampler import SamplerConfig, run_ddim_sampling, run_sampling
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
@@ -114,13 +117,22 @@ class MotionPlanner:
         cost_composite = CostComposite(robot, H, cost_list, weights_cost_l=weights)
 
         # ---- guide (ref inference.py:229-236; effective interp count is 128,
-        # see guide.py docstring on the reference's kwarg-mismatch quirk)
-        self.guide = GuideTrajectoriesWithVelocity(
+        # see guide.py docstring on the reference's kwarg-mismatch quirk).
+        # Position-only datasets get the velocity-reconstructing variant
+        # (ref GuideManagerTrajectories).
+        guide_cls = (
+            GuideTrajectoriesWithVelocity
+            if dataset.include_velocity
+            else GuideTrajectoriesPositionOnly
+        )
+        guide_kwargs = {} if dataset.include_velocity else {"dt": dt}
+        self.guide = guide_cls(
             unnormalize_fn=dataset.unnormalize_trajectories,
             cost=cost_composite,
             clip_grad=True,
             interpolate_trajectories_for_collision=True,
             num_interpolated_points_for_collision=128,
+            **guide_kwargs,
         )
 
         t_start_guide = math.ceil(
