@@ -13,7 +13,7 @@ stack fuses into the jitted sampling step.
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -27,7 +27,7 @@ Semantics preserved exactly (these details dominate plan quality):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

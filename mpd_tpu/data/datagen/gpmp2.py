@@ -17,9 +17,6 @@ dense [2H x 2H] ops, identical per dof). Start/goal states are pinned hard
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Counterpart of the reference's TrajectoryDataset
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax

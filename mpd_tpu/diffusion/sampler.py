@@ -17,7 +17,6 @@ Timestep convention (matches the reference exactly):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -30,7 +29,6 @@ from mpd_tpu.diffusion.gaussian_diffusion import (
     p_mean_variance,
     predict_noise_from_start,
     predict_start_from_noise,
-    _gather,
 )
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
 

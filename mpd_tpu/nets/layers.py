@@ -9,7 +9,6 @@ onto XLA's native NHWC conv path and matmuls hit the MXU without transposes.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

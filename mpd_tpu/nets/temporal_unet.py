@@ -14,7 +14,7 @@ only); context conditioning hooks are kept for parity of API surface.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,7 +26,6 @@ from mpd_tpu.nets.layers import (
     ResidualTemporalBlock,
     TimeEncoder,
     Upsample1d,
-    group_norm_n_groups,
 )
 
 # Reference naming: UNET_DIM_MULTS (ref temporal_unet.py:14-17)

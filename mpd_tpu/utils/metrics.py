@@ -8,7 +8,7 @@ table, written as csv and a LaTeX tabular.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

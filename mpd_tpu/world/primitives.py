@@ -13,7 +13,7 @@ Everything is plain jnp so it differentiates, vmaps and shards freely.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

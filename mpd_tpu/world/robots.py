@@ -13,8 +13,6 @@ vmapped, on-TPU) and as NumPy (host-side RRT collision checks).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -9,15 +9,14 @@ validated in one fused device call.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from mpd_tpu.world.envs import EnvBase
-from mpd_tpu.world.primitives import ObjectSet, sdf_object_set, sdf_object_set_np
+from mpd_tpu.world.primitives import ObjectSet, sdf_object_set
 from mpd_tpu.world.robots import RobotBase
 
 
