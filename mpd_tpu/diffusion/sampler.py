@@ -104,6 +104,24 @@ def ddpm_sample_step(
     return x + model_std * noise * cfg.noise_std_extra
 
 
+def _chain_noises(
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    steps,
+    shape: Tuple[int, int, int],
+    cfg: SamplerConfig,
+) -> jnp.ndarray:
+    """Pre-draw the per-step additive noise n_j = std_{t_j} * z_j * temp,
+    zeroed where t == 0. [S, B, H, D]."""
+    S = len(steps)
+    z = jax.random.normal(key, (S,) + shape, schedule.betas.dtype)
+    t_eff = np.maximum(np.array(steps), 0)
+    std = np.asarray(schedule.posterior_std)[t_eff]  # [S]
+    mult = (np.array(steps) > 0).astype(np.float32) * cfg.noise_std_extra
+    scale = jnp.asarray(std * mult, schedule.betas.dtype)
+    return z * scale[:, None, None, None]
+
+
 def run_sampling(
     schedule: DiffusionSchedule,
     eps_fn: EpsFn,
@@ -113,55 +131,163 @@ def run_sampling(
     cfg: SamplerConfig,
     guide_fn: Optional[GuideFn] = None,
     return_chain: bool = False,
+    noises: Optional[jnp.ndarray] = None,
 ):
     """Full reverse chain (ref diffusion_model_base.py:157-182, 285-316).
 
     Returns final x [B,H,D], or (final, chain [S+1,B,H,D]) with the initial
     noise draw first, matching the reference's returned chain layout.
+    `noises` optionally fixes the per-step additive noise [S, B, H, D]
+    (already scaled by posterior std and temperature; used for equivalence
+    tests against the parallel sampler).
     """
     T = schedule.n_steps
     steps = list(reversed(range(-cfg.n_extra_steps, T)))  # e.g. 24..0,-1..-5
     t_start = cfg.t_start_guide if guide_fn is not None else -10**9
-    unguided_steps = [i for i in steps if i >= t_start]
-    guided_steps = [i for i in steps if i < t_start]
+    n_unguided = sum(1 for i in steps if i >= t_start)
 
-    key, init_key = jax.random.split(key)
+    key, init_key, noise_key = jax.random.split(key, 3)
+    if noises is None:
+        noises = _chain_noises(schedule, noise_key, steps, shape, cfg)
     x = jax.random.normal(init_key, shape, schedule.betas.dtype)
     x = apply_hard_conditioning(x, hard_conds)
     chain0 = x
 
-    def make_phase(step_list, guided):
-        i_arr = jnp.asarray(np.array(step_list, dtype=np.int32))
-        n = len(step_list)
-
-        def body(carry, xs):
-            x_c, k = carry
-            i = xs
-            k, sub = jax.random.split(k)
-            x_n = ddpm_sample_step(
-                schedule, eps_fn, x_c, i, sub, hard_conds, cfg,
-                guide_fn=guide_fn, guided=guided,
+    def make_body(guided):
+        def body(x_c, xs):
+            i, noise = xs
+            b = x_c.shape[0]
+            t = jnp.full((b,), jnp.maximum(i, 0), dtype=jnp.int32)
+            model_mean, log_var = p_mean_variance(
+                schedule, eps_fn, x_c, t,
+                clip_denoised=cfg.clip_denoised,
+                predict_epsilon=cfg.predict_epsilon,
             )
+            x_n = model_mean
+            if guided and guide_fn is not None:
+                model_var = jnp.exp(log_var) if cfg.scale_grad_by_std else None
+                x_n = guide_gradient_steps(
+                    x_n, hard_conds, guide_fn,
+                    n_guide_steps=cfg.n_guide_steps, model_var=model_var,
+                )
+            x_n = x_n + noise
             x_n = apply_hard_conditioning(x_n, hard_conds)
-            return (x_n, k), (x_n if return_chain else None)
+            return x_n, (x_n if return_chain else None)
 
-        return i_arr, n, body
+        return body
 
-    carry = (x, key)
+    x_final = x
     chains = []
-    for step_list, guided in ((unguided_steps, False), (guided_steps, True)):
-        if not step_list:
+    for sl, noise_sl, guided in (
+        (steps[:n_unguided], noises[:n_unguided], False),
+        (steps[n_unguided:], noises[n_unguided:], True),
+    ):
+        if not sl:
             continue
-        i_arr, _, body = make_phase(step_list, guided)
-        carry, ys = jax.lax.scan(body, carry, i_arr)
+        i_arr = jnp.asarray(np.array(sl, dtype=np.int32))
+        x_final, ys = jax.lax.scan(make_body(guided), x_final, (i_arr, noise_sl))
         if return_chain:
             chains.append(ys)
 
-    x_final = carry[0]
     if return_chain:
         chain = jnp.concatenate([chain0[None]] + chains, axis=0)
         return x_final, chain
     return x_final
+
+
+def run_sampling_parallel(
+    schedule: DiffusionSchedule,
+    eps_fn: EpsFn,
+    key: jax.Array,
+    shape: Tuple[int, int, int],
+    hard_conds: HardConds,
+    cfg: SamplerConfig,
+    guide_fn: Optional[GuideFn] = None,
+    n_sweeps: Optional[int] = None,
+    noises: Optional[jnp.ndarray] = None,
+):
+    """Picard-parallelized reverse chain (Shih et al. 2023, "Parallel
+    Sampling of Diffusion Models"; TPU-first latency lever).
+
+    With the per-step noises fixed, the sequential chain
+    x_{j+1} = F_j(x_j) + n_j is the fixed point of the Jacobi sweep
+    X'_{j+1} = F_j(X_j) applied to the whole chain at once — every sweep is
+    ONE batched eps/guide evaluation over (S x B) trajectories, which keeps
+    the chip saturated at small query batches. After S sweeps the result
+    equals the sequential sampler exactly (tested). Default n_sweeps = S
+    (exact).
+
+    Caveat (measured): with the reference's exponential schedule
+    (beta_end=1.0) the early steps are non-contractive — x0_hat at high t is
+    clamp-saturated — so truncated sweeps (n_sweeps < S) deviate
+    substantially; the Jacobi iteration only guarantees one exact position
+    per sweep. Early-stopped speedups apply to smoother schedules
+    (linear/cosine); for the exponential schedule use the sequential sampler
+    for quality-parity work.
+    """
+    T = schedule.n_steps
+    steps = list(reversed(range(-cfg.n_extra_steps, T)))
+    S = len(steps)
+    B, H, D = shape
+    t_start = cfg.t_start_guide if guide_fn is not None else -10**9
+    n_unguided = sum(1 for i in steps if i >= t_start)
+    n_guided = S - n_unguided
+    n_sweeps = S if n_sweeps is None else n_sweeps
+
+    key, init_key, noise_key = jax.random.split(key, 3)
+    if noises is None:
+        noises = _chain_noises(schedule, noise_key, steps, shape, cfg)
+    x0 = jax.random.normal(init_key, shape, schedule.betas.dtype)
+    x0 = apply_hard_conditioning(x0, hard_conds)
+
+    t_eff = jnp.asarray(np.maximum(np.array(steps), 0), jnp.int32)  # [S]
+    t_flat = jnp.repeat(t_eff, B)  # [S*B]
+
+    # hard conds broadcast over chain positions for the flattened batch
+    conds_flat = {
+        k: jnp.tile(jnp.broadcast_to(v, (B, D)), (S, 1))
+        for k, v in hard_conds.items()
+    }
+
+    def sweep(_, X):
+        # X: [S+1, B, H, D]; inputs are positions 0..S-1
+        flat = X[:-1].reshape(S * B, H, D)
+        mean, log_var = p_mean_variance(
+            schedule, eps_fn, flat, t_flat,
+            clip_denoised=cfg.clip_denoised, predict_epsilon=cfg.predict_epsilon,
+        )
+        x = mean
+        if guide_fn is not None and n_guided > 0:
+            # guided positions are the contiguous tail of the chain
+            xg = x.reshape(S, B, H, D)[n_unguided:].reshape(n_guided * B, H, D)
+            conds_g = {
+                k: v.reshape(S, B, D)[n_unguided:].reshape(n_guided * B, D)
+                for k, v in conds_flat.items()
+            }
+            model_var = (
+                jnp.exp(log_var.reshape(S, B, 1, 1)[n_unguided:]).reshape(
+                    n_guided * B, 1, 1
+                )
+                if cfg.scale_grad_by_std
+                else None
+            )
+            xg = guide_gradient_steps(
+                xg, conds_g, guide_fn,
+                n_guide_steps=cfg.n_guide_steps, model_var=model_var,
+            )
+            x = jnp.concatenate(
+                [x.reshape(S, B, H, D)[:n_unguided], xg.reshape(n_guided, B, H, D)],
+                axis=0,
+            ).reshape(S * B, H, D)
+        x = x.reshape(S, B, H, D) + noises
+        x = apply_hard_conditioning(
+            x.reshape(S * B, H, D), conds_flat
+        ).reshape(S, B, H, D)
+        return jnp.concatenate([X[:1], x], axis=0)
+
+    X = jnp.broadcast_to(x0, (S + 1,) + shape)
+    X = jax.lax.fori_loop(0, n_sweeps, sweep, X)
+    return X[-1]
 
 
 def run_ddim_sampling(
