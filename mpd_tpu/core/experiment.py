@@ -108,6 +108,7 @@ class Launcher:
         n_seeds: int = 1,
         n_exps_in_parallel: int = 1,
         results_dir: str = "logs",
+        inject_defaults: bool = True,
         **kwargs,
     ):
         self.exp_name = exp_name
@@ -115,6 +116,7 @@ class Launcher:
         self.n_seeds = n_seeds
         self.n_parallel = max(1, n_exps_in_parallel)
         self.results_dir = results_dir
+        self.inject_defaults = inject_defaults
         self._experiments: List[Dict[str, Any]] = []
 
     def add_experiment(self, **params):
@@ -139,10 +141,11 @@ class Launcher:
             for seed in range(self.n_seeds):
                 cmd = [sys.executable, self.exp_file]
                 full = dict(cfg)
-                full.setdefault("seed", seed)
-                full.setdefault(
-                    "results_dir", os.path.join(self.results_dir, self.exp_name)
-                )
+                if self.inject_defaults:
+                    full.setdefault("seed", seed)
+                    full.setdefault(
+                        "results_dir", os.path.join(self.results_dir, self.exp_name)
+                    )
                 for k, v in full.items():
                     cmd += ["--" + k.replace("_", "-"), str(v)]
                 jobs.append(cmd)
