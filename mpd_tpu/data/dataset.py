@@ -145,6 +145,16 @@ class TrajectoryDataset:
         }
 
     # normalization passthroughs (ref trajectories.py:190-206)
+    def override_traj_normalizer_stats(self, mins, maxs):
+        """Replace the fitted trajectory-normalizer stats with saved
+        training-time stats (checkpoint round-trip; see scripts/train.py)."""
+        from mpd_tpu.data.normalization import LimitsNormalizer
+
+        self.traj_normalizer = LimitsNormalizer(
+            mins=jnp.asarray(mins, jnp.float32), maxs=jnp.asarray(maxs, jnp.float32)
+        )
+        self.trajs_normalized = self.traj_normalizer.normalize(self.trajs)
+
     def normalize_trajectories(self, x):
         return self.traj_normalizer.normalize(x)
 

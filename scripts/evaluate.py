@@ -58,6 +58,10 @@ def main():
         use_extra_objects=bool(args.use_extra_objects),
         obstacle_cutoff_margin=0.05,
     )
+    tn = margs.get("traj_normalizer")
+    if tn and tn.get("mins") is not None:
+        ds.override_traj_normalizer_stats(tn["mins"], tn["maxs"])
+
     net = TemporalUnet(
         state_dim=margs["state_dim"],
         n_support_points=margs["n_support_points"],

@@ -68,6 +68,10 @@ def main():
         obstacle_cutoff_margin=args.obstacle_cutoff_margin,
     )
 
+    tn = margs.get("traj_normalizer")
+    if tn and tn.get("mins") is not None:
+        ds.override_traj_normalizer_stats(tn["mins"], tn["maxs"])
+
     net = TemporalUnet(
         state_dim=margs["state_dim"],
         n_support_points=margs["n_support_points"],

@@ -101,6 +101,15 @@ def main():
         use_ema=bool(args.use_ema),
         state_dim=ds.state_dim,
         n_support_points=ds.n_support_points,
+        # persist the fitted normalizer stats: inference must unnormalize
+        # with the exact training-time stats even if the dataset changes
+        traj_normalizer=dict(
+            kind=ds.normalizer_name,
+            mins=np.asarray(ds.traj_normalizer.mins).tolist()
+            if hasattr(ds.traj_normalizer, "mins") else None,
+            maxs=np.asarray(ds.traj_normalizer.maxs).tolist()
+            if hasattr(ds.traj_normalizer, "maxs") else None,
+        ),
     )
     with open(os.path.join(args.out, "args.yaml"), "w") as f:
         yaml.safe_dump(model_args, f)
