@@ -35,6 +35,14 @@ def interpolate_points(x: jnp.ndarray, num_points: int) -> jnp.ndarray:
     return x[..., lo, :] * (1.0 - w) + x[..., hi, :] * w
 
 
+def interpolate_traj_via_points(trajs: jnp.ndarray, num_points_per_segment: int = 2) -> jnp.ndarray:
+    """Densify a trajectory by a per-segment factor before playback
+    (counterpart of torch_robotics' interpolate_traj_via_points, consumed at
+    reference inference.py:25,386)."""
+    H = trajs.shape[-2]
+    return interpolate_points(trajs, (H - 1) * num_points_per_segment + 1)
+
+
 class PlanningTask:
     def __init__(
         self,
