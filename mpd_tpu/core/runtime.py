@@ -13,7 +13,12 @@ def setup_runtime(cpu: bool = False, cache_dir: str = "/root/.jax_cache") -> Non
     import jax
 
     if cpu:
+        # No persistent cache on CPU: AOT entries record host CPU features and
+        # a cache shared with the remote-compile terminal can produce
+        # machine-mismatch loads (observed "+prefer-no-scatter not supported"
+        # warnings / potential SIGILL).
         jax.config.update("jax_platforms", "cpu")
+        return
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
