@@ -150,3 +150,28 @@ def test_task_validity_and_metrics():
 
     pl = compute_path_length(traj2, robot)
     np.testing.assert_allclose(np.asarray(pl), [1.8], atol=1e-5)
+
+
+def test_panda_analytic_jacobian_matches_autodiff():
+    """The custom-VJP fast path (revolute-joint rule z_i x (c - o_i)) must
+    reproduce autodiff through the FK chain."""
+    from mpd_tpu.world.robots import (
+        RobotPanda,
+        _panda_centers_from_origins,
+        _panda_frame_origins,
+        panda_sphere_positions_fast,
+    )
+
+    robot = RobotPanda()
+    q = jax.random.uniform(jax.random.PRNGKey(0), (5, 7),
+                           minval=robot.q_min, maxval=robot.q_max)
+    c_fast = panda_sphere_positions_fast(q)
+    c_ref = _panda_centers_from_origins(_panda_frame_origins(q, jnp))
+    np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ref), atol=1e-6)
+
+    w = jax.random.normal(jax.random.PRNGKey(1), c_ref.shape)
+    g_fast = jax.grad(lambda qq: jnp.sum(jnp.sin(panda_sphere_positions_fast(qq)) * w))(q)
+    g_auto = jax.grad(
+        lambda qq: jnp.sum(jnp.sin(_panda_centers_from_origins(_panda_frame_origins(qq, jnp))) * w)
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_auto), rtol=1e-4, atol=1e-6)
