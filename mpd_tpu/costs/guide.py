@@ -81,7 +81,13 @@ class GuideTrajectoriesWithVelocity:
 
         grad_total = jnp.zeros_like(x_phys)
         for idx, weight in enumerate(self.cost.weights):
-            grad_cost = jax.grad(term_cost)(x_phys, idx)
+            term = self.cost.cost_list[idx]
+            if hasattr(term, "gradient"):
+                # analytic gradient (e.g. the quadratic GP prior): skips a
+                # whole autodiff backward pass per guide step
+                grad_cost = term.gradient(x_phys)
+            else:
+                grad_cost = jax.grad(term_cost)(x_phys, idx)
             grad_cost = self._clip_gradient(grad_cost)
             grad_cost = grad_cost.at[..., 0, :].set(0.0)
             grad_cost = grad_cost.at[..., -1, :].set(0.0)

@@ -147,3 +147,14 @@ def test_position_only_guide(world):
     assert out.shape == (3, H, 2)
     assert np.isfinite(np.asarray(out)).all()
     assert np.all(np.asarray(out[:, 0]) == 0) and np.all(np.asarray(out[:, -1]) == 0)
+
+
+def test_gp_analytic_gradient_matches_autodiff(world):
+    _, robot = world
+    H, dt = 12, 0.08
+    cost = CostGPTrajectory(robot, H, dt, sigma_gp=0.6)
+    x = jnp.asarray(np.random.RandomState(2).randn(3, H, 4), jnp.float32)
+    g_auto = jax.grad(lambda xx: jnp.sum(cost(xx)))(x)
+    g_analytic = cost.gradient(x)
+    np.testing.assert_allclose(np.asarray(g_analytic), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-4)
