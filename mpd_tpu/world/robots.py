@@ -106,106 +106,174 @@ _ARM_SPHERE_RADIUS = 0.06
 _HAND_SPHERE_RADIUS = 0.09
 
 
+def _snap(v: float) -> float:
+    """Snap near-zero/±1 trig constants so scalar folding can drop terms."""
+    for target in (0.0, 1.0, -1.0):
+        if abs(v - target) < 1e-12:
+            return target
+    return v
+
+
+def _m(a, b):
+    """Multiply with trace-time folding of float 0/1 factors."""
+    if isinstance(a, float):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+    if isinstance(b, float):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _add(*terms):
+    """Sum, dropping trace-time float zeros."""
+    live = [t for t in terms if not (isinstance(t, float) and t == 0.0)]
+    if not live:
+        return 0.0
+    out = live[0]
+    for t in live[1:]:
+        out = out + t
+    return out
+
+
+def _fk_scalar_chain(q, xp, want_axes: bool = False):
+    """Unrolled scalar-form FK over the Panda chain.
+
+    The rotation is kept as 9 separate batch arrays and the DH products are
+    written out termwise (modified DH: T = RotX(alpha) TransX(a) RotZ(theta)
+    TransZ(d)), so the whole chain is pure elementwise math — no stacked
+    3x3 intermediates, no einsum. On TPU this is what XLA fuses into a
+    handful of VPU kernels; the previous stack+einsum(HIGHEST) form paid
+    layout shuffles and multi-pass f32 MXU ops per joint (measured: the
+    guide around this FK was ~97% of a Panda planning query). Identity/zero
+    entries fold away at trace time (most DH constants are 0/±1).
+
+    Returns (origins, axes, axis_pts): lists of [3]-lists of batch arrays
+    (or float 0.0/1.0 for entries that fold to constants); axes/axis_pts
+    are None unless want_axes.
+    """
+    # R row-major as scalar entries; p as 3 entries
+    R = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    p = [0.0, 0.0, 0.0]
+    origins = [list(p)]
+    axes = [] if want_axes else None
+    axis_pts = [] if want_axes else None
+
+    for i in range(8):
+        a, d, alpha = (float(v) for v in _PANDA_DH[i])
+        ca, sa = _snap(float(np.cos(alpha))), _snap(float(np.sin(alpha)))
+        if i < 7:
+            theta = q[..., i]
+            ct, st = xp.cos(theta), xp.sin(theta)
+        else:
+            ct, st = 1.0, 0.0
+
+        if want_axes and i < 7:
+            # joint i rotates about z of the post-RotX frame:
+            # axis = R @ [0, -sa, ca]; it passes through p + R @ [a, 0, 0]
+            axes.append(
+                [
+                    _add(_m(R[k * 3 + 1], -sa), _m(R[k * 3 + 2], ca))
+                    for k in range(3)
+                ]
+            )
+            axis_pts.append([_add(p[k], _m(R[k * 3], a)) for k in range(3)])
+
+        # p += R @ [a, -d*sa, d*ca]
+        t0, t1, t2 = a, -d * sa, d * ca
+        p = [
+            _add(
+                p[k],
+                _m(R[k * 3 + 0], t0),
+                _m(R[k * 3 + 1], t1),
+                _m(R[k * 3 + 2], t2),
+            )
+            for k in range(3)
+        ]
+        # R = R @ R_loc with R_loc = [[ct,-st,0],[st*ca,ct*ca,-sa],[st*sa,ct*sa,ca]]
+        sc, ss = _m(st, ca), _m(st, sa)  # st*ca, st*sa
+        cc, cs = _m(ct, ca), _m(ct, sa)
+        newR = []
+        for k in range(3):
+            r0, r1, r2 = R[k * 3], R[k * 3 + 1], R[k * 3 + 2]
+            newR.extend(
+                [
+                    _add(_m(r0, ct), _m(r1, sc), _m(r2, ss)),
+                    _add(_m(r0, _neg(st)), _m(r1, cc), _m(r2, cs)),
+                    _add(_m(r1, -sa), _m(r2, ca)),
+                ]
+            )
+        R = newR
+        origins.append(list(p))
+
+    return origins, axes, axis_pts
+
+
+def _neg(x):
+    return -x if not isinstance(x, float) else -x
+
+
+def _stack_scalar_vectors(vecs, q, xp):
+    """[[3]-lists of scalar entries] -> array [..., len(vecs), 3]."""
+    zero = xp.zeros_like(q[..., 0])
+    rows = []
+    for v in vecs:
+        comps = [c + zero if isinstance(c, float) else c for c in v]
+        rows.append(xp.stack(comps, axis=-1))
+    return xp.stack(rows, axis=-2)
+
+
 def _panda_frame_origins(q, xp):
     """Frame origins along the chain for configurations q [..., 7].
 
     Returns [..., 9, 3]: base origin + origins of frames 1..7 + flange.
     Modified-DH transform: T = RotX(alpha) TransX(a) RotZ(theta) TransZ(d).
     """
-    batch_shape = q.shape[:-1]
-    dtype = q.dtype
-
-    # Running rotation R [..., 3, 3] and translation p [..., 3]
-    R = xp.broadcast_to(xp.eye(3, dtype=dtype), batch_shape + (3, 3))
-    p = xp.zeros(batch_shape + (3,), dtype=dtype)
-    origins = [p]
-
-    for i in range(8):
-        a, d, alpha = _PANDA_DH[i]
-        theta = q[..., i] if i < 7 else xp.zeros(batch_shape, dtype=dtype)
-        ct, st = xp.cos(theta), xp.sin(theta)
-        ca, sa = float(np.cos(alpha)), float(np.sin(alpha))
-
-        zeros = xp.zeros_like(ct)
-        ones = xp.ones_like(ct)
-        # Local rotation (modified DH), rows stacked then moved to [..., 3, 3]
-        R_loc = xp.stack(
-            [
-                xp.stack([ct, -st, zeros], axis=-1),
-                xp.stack([st * ca, ct * ca, -sa * ones], axis=-1),
-                xp.stack([st * sa, ct * sa, ca * ones], axis=-1),
-            ],
-            axis=-2,
-        )
-        t_loc = xp.stack(
-            [a * ones, -d * sa * ones, d * ca * ones], axis=-1
-        )
-
-        # FK needs true f32 products: on TPU, default einsum would route these
-        # tiny 3x3 contractions through bf16 MXU passes (~1e-3 error).
-        if xp is np:
-            p = p + np.einsum("...ij,...j->...i", R, t_loc)
-            R = np.einsum("...ij,...jk->...ik", R, R_loc)
-        else:
-            import jax
-
-            p = p + xp.einsum("...ij,...j->...i", R, t_loc, precision=jax.lax.Precision.HIGHEST)
-            R = xp.einsum("...ij,...jk->...ik", R, R_loc, precision=jax.lax.Precision.HIGHEST)
-        origins.append(p)
-
-    return xp.stack(origins, axis=-2)
+    origins, _, _ = _fk_scalar_chain(q, xp)
+    return _stack_scalar_vectors(origins, q, xp)
 
 
-def _panda_fk_with_axes(q):
-    """FK forward pass that also exposes the joint axes for the analytic
-    Jacobian: returns (origins [..., 9, 3], axes z_i [..., 7, 3],
-    axis_points o_i [..., 7, 3]) — joint i's world rotation axis and a point
-    on it. jnp-only (the backward fast path)."""
-    import jax
+def _sub(x, y):
+    """Subtract with trace-time folding of float zeros."""
+    if isinstance(y, float) and y == 0.0:
+        return x
+    if isinstance(x, float) and x == 0.0:
+        return -y
+    return x - y
 
-    batch_shape = q.shape[:-1]
-    dtype = q.dtype
-    R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
-    p = jnp.zeros(batch_shape + (3,), dtype=dtype)
-    origins = [p]
-    axes = []
-    axis_pts = []
-    hi = jax.lax.Precision.HIGHEST
 
-    for i in range(8):
-        a, d, alpha = _PANDA_DH[i]
-        theta = q[..., i] if i < 7 else jnp.zeros(batch_shape, dtype=dtype)
-        ct, st = jnp.cos(theta), jnp.sin(theta)
-        ca, sa = float(np.cos(alpha)), float(np.sin(alpha))
-        zeros = jnp.zeros_like(ct)
-        ones = jnp.ones_like(ct)
+def _cross(a, b):
+    """Cross product of scalar-entry triples."""
+    return [
+        _sub(_m(a[1], b[2]), _m(a[2], b[1])),
+        _sub(_m(a[2], b[0]), _m(a[0], b[2])),
+        _sub(_m(a[0], b[1]), _m(a[1], b[0])),
+    ]
 
-        if i < 7:
-            # joint i rotates about z of the post-RotX intermediate frame:
-            # axis = R @ [0, -sa, ca]; it passes through p + R @ [a, 0, 0]
-            z_loc = jnp.asarray([0.0, -sa, ca], dtype)
-            axes.append(jnp.einsum("...ij,j->...i", R, z_loc, precision=hi))
-            x_loc = jnp.asarray([a, 0.0, 0.0], dtype)
-            axis_pts.append(p + jnp.einsum("...ij,j->...i", R, x_loc, precision=hi))
 
-        R_loc = jnp.stack(
-            [
-                jnp.stack([ct, -st, zeros], axis=-1),
-                jnp.stack([st * ca, ct * ca, -sa * ones], axis=-1),
-                jnp.stack([st * sa, ct * sa, ca * ones], axis=-1),
-            ],
-            axis=-2,
-        )
-        t_loc = jnp.stack([a * ones, -d * sa * ones, d * ca * ones], axis=-1)
-        p = p + jnp.einsum("...ij,...j->...i", R, t_loc, precision=hi)
-        R = jnp.einsum("...ij,...jk->...ik", R, R_loc, precision=hi)
-        origins.append(p)
+def _dot3(a, b):
+    return _add(_m(a[0], b[0]), _m(a[1], b[1]), _m(a[2], b[2]))
 
-    return (
-        jnp.stack(origins, axis=-2),
-        jnp.stack(axes, axis=-2),
-        jnp.stack(axis_pts, axis=-2),
-    )
+
+def _centers_scalar(origins):
+    """Scalar-form sphere centers from scalar-form frame origins.
+
+    Same layout as _panda_centers_from_origins: all segments at fraction
+    u_0, then all at u_1, ..., then the hand sphere at the flange.
+    """
+    cs = []
+    for u in _SEGMENT_FRACTIONS:
+        for seg in range(7):
+            s_, e_ = origins[seg + 1], origins[seg + 2]
+            cs.append(
+                [_add(_m(s_[k], 1.0 - u), _m(e_[k], u)) for k in range(3)]
+            )
+    cs.append(list(origins[8]))
+    return cs
 
 
 def _panda_centers_from_origins(origins, xp=jnp):
@@ -237,23 +305,43 @@ def _make_panda_sphere_positions_vjp():
 
     @jax.custom_vjp
     def sphere_positions(q):
-        origins = _panda_frame_origins(q, jnp)
-        return _panda_centers_from_origins(origins)
+        origins, _, _ = _fk_scalar_chain(q, jnp)
+        return _stack_scalar_vectors(_centers_scalar(origins), q, jnp)
 
     def fwd(q):
-        origins, axes, axis_pts = _panda_fk_with_axes(q)
-        centers = _panda_centers_from_origins(origins)
-        return centers, (axes, axis_pts, centers)
+        origins, axes, axis_pts = _fk_scalar_chain(q, jnp, want_axes=True)
+        cs = _centers_scalar(origins)
+        centers = _stack_scalar_vectors(cs, q, jnp)
+        return centers, (axes, axis_pts, cs)
 
     def bwd(res, g):
-        # g: [..., S, 3] cotangent on sphere centers.
-        # J[s, i] = mask * z_i x (c_s - o_i)  (revolute-joint rule)
-        axes, axis_pts, centers = res
-        rel = centers[..., :, None, :] - axis_pts[..., None, :, :]  # [.., S, 7, 3]
-        J = jnp.cross(axes[..., None, :, :], rel)
-        J = J * jnp.asarray(_PANDA_JOINT_MASK)[:, :, None]
-        grad_q = jnp.einsum("...sd,...sjd->...j", g, J)
-        return (grad_q,)
+        # g: [..., S, 3] cotangent on sphere centers. Revolute rule
+        # J[s, i] = mask * z_i x (c_s - o_i); instead of materializing J,
+        # use g_s . (z_i x (c_s - o_i)) = z_i . (c_s x g_s) - z_i . (o_i x G)
+        # and the chain structure (joint i affects spheres on segments >= i):
+        # accumulate per-segment sums of (c x g) and g, then suffix-sum from
+        # the wrist down — O(S + 7) elementwise triples, no [S, 7, 3] tensor.
+        axes, axis_pts, cs = res
+        segs = list(range(7)) * len(_SEGMENT_FRACTIONS) + [6]
+        seg_cg = [[0.0, 0.0, 0.0] for _ in range(7)]
+        seg_g = [[0.0, 0.0, 0.0] for _ in range(7)]
+        for s, seg in enumerate(segs):
+            gs = [g[..., s, k] for k in range(3)]
+            cg = _cross(cs[s], gs)
+            seg_cg[seg] = [_add(seg_cg[seg][k], cg[k]) for k in range(3)]
+            seg_g[seg] = [_add(seg_g[seg][k], gs[k]) for k in range(3)]
+        grad_comps = [0.0] * 7
+        cx = [0.0, 0.0, 0.0]
+        gsum = [0.0, 0.0, 0.0]
+        for j in range(6, -1, -1):
+            cx = [_add(cx[k], seg_cg[j][k]) for k in range(3)]
+            gsum = [_add(gsum[k], seg_g[j][k]) for k in range(3)]
+            grad_comps[j] = _sub(
+                _dot3(axes[j], cx), _dot3(axes[j], _cross(axis_pts[j], gsum))
+            )
+        zero = jnp.zeros_like(g[..., 0, 0])
+        comps = [c + zero if isinstance(c, float) else c for c in grad_comps]
+        return (jnp.stack(comps, axis=-1),)
 
     sphere_positions.defvjp(fwd, bwd)
     return sphere_positions

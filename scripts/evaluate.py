@@ -28,6 +28,8 @@ def main():
     p.add_argument("--n-samples", type=int, default=50)
     p.add_argument("--planner-alg", default="mpd")
     p.add_argument("--weight-grad-cost-collision", type=float, default=1e-2)
+    p.add_argument("--n-guide-steps", type=int, default=5)
+    p.add_argument("--start-guide-steps-fraction", type=float, default=0.25)
     p.add_argument("--use-extra-objects", type=int, default=1)
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
@@ -83,6 +85,8 @@ def main():
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,
             weight_grad_cost_collision=args.weight_grad_cost_collision,
+            n_guide_steps=args.n_guide_steps,
+            start_guide_steps_fraction=args.start_guide_steps_fraction,
         ),
     )
 
