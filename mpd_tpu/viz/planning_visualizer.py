@@ -146,9 +146,19 @@ class PlanningVisualizer:
         anim_time: float = 5.0,
         **kwargs,
     ):
-        """Animate robots moving along their trajectories (2D)."""
-        if self.env.ws_dim != 2:
-            raise NotImplementedError("animation currently supports 2D envs")
+        """Animate robots moving along their trajectories.
+
+        2D: every robot as a moving dot over its path. 3D (Panda): the
+        kinematic chain (frame-origin skeleton + collision spheres) of the
+        first trajectory replayed along the horizon, with end-effector
+        traces of the rest — the counterpart of the reference's IsaacGym
+        position-control playback (ref scripts/inference/inference.py:388-414),
+        rendered from our own FK instead of a closed-source simulator.
+        """
+        if self.env.ws_dim == 3:
+            return self._animate_robot_trajectories_3d(
+                trajs, start_state, goal_state, video_filepath, n_frames, anim_time
+            )
         trajs = np.asarray(trajs)
         B, H, _ = trajs.shape
         frame_idx = np.linspace(0, H - 1, n_frames).astype(int)
@@ -170,6 +180,81 @@ class PlanningVisualizer:
 
         anim = animation.FuncAnimation(
             fig, update, frames=n_frames, interval=1000 * anim_time / n_frames, blit=True
+        )
+        self._save_anim(anim, video_filepath, fig)
+        return video_filepath
+
+    def _animate_robot_trajectories_3d(
+        self,
+        trajs: np.ndarray,  # [B, H, 7] joint positions
+        start_state,
+        goal_state,
+        video_filepath: str,
+        n_frames: int,
+        anim_time: float,
+    ):
+        import jax.numpy as jnp
+
+        trajs = np.asarray(trajs)
+        B, H, _ = trajs.shape
+        frame_idx = np.linspace(0, H - 1, min(n_frames, H)).astype(int)
+
+        # FK once for the replayed trajectory (chain skeleton + spheres)
+        origins = np.asarray(self.robot.frame_origins(jnp.asarray(trajs[0])))  # [H, 9, 3]
+        spheres = np.asarray(
+            self.robot.collision_sphere_positions(jnp.asarray(trajs[0]))
+        )  # [H, S, 3]
+
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(projection="3d")
+        objs = self.env.objects
+        u, v = np.mgrid[0 : 2 * np.pi : 12j, 0 : np.pi : 8j]
+        for c, r in zip(np.asarray(objs.sphere_centers), np.asarray(objs.sphere_radii)):
+            if r >= 0:
+                ax.plot_surface(
+                    c[0] + r * np.cos(u) * np.sin(v),
+                    c[1] + r * np.sin(u) * np.sin(v),
+                    c[2] + r * np.cos(v),
+                    color="0.5",
+                    alpha=0.3,
+                )
+        for tr in trajs:
+            ee = np.asarray(self.robot.fk_ee(jnp.asarray(tr)))
+            ax.plot(ee[:, 0], ee[:, 1], ee[:, 2], lw=0.8, alpha=0.4, color="C0")
+        if start_state is not None:
+            ee0 = np.asarray(self.robot.fk_ee(jnp.asarray(start_state)[None, :7]))[0]
+            ax.scatter(*ee0, c="C2", s=60)
+        if goal_state is not None:
+            eeg = np.asarray(self.robot.fk_ee(jnp.asarray(goal_state)[None, :7]))[0]
+            ax.scatter(*eeg, c="C3", s=80, marker="*")
+
+        (skel,) = ax.plot(
+            origins[0, :, 0], origins[0, :, 1], origins[0, :, 2],
+            lw=3.0, color="C1", marker="o", ms=4, zorder=6,
+        )
+        sph = ax.scatter(
+            spheres[0, :, 0], spheres[0, :, 1], spheres[0, :, 2],
+            c="C1", s=120, alpha=0.45, zorder=5,
+        )
+        lim = np.asarray(self.env.limits)
+        ax.set_xlim(lim[0, 0], lim[1, 0])
+        ax.set_ylim(lim[0, 1], lim[1, 1])
+        ax.set_zlim(lim[0, 2], lim[1, 2])
+        title = ax.set_title("t 0")
+
+        def update(f):
+            h = frame_idx[f]
+            skel.set_data(origins[h, :, 0], origins[h, :, 1])
+            skel.set_3d_properties(origins[h, :, 2])
+            sph._offsets3d = (
+                spheres[h, :, 0], spheres[h, :, 1], spheres[h, :, 2],
+            )
+            title.set_text(f"t {h}")
+            return skel, sph
+
+        anim = animation.FuncAnimation(
+            fig, update, frames=len(frame_idx),
+            interval=1000 * anim_time / len(frame_idx),
         )
         self._save_anim(anim, video_filepath, fig)
         return video_filepath

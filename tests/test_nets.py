@@ -89,3 +89,21 @@ def test_visualizer_smoke(tmp_path):
     )
     import os
     assert any(os.path.exists(str(tmp_path / f"anim.{ext}")) for ext in ("mp4", "gif"))
+
+
+def test_visualizer_panda_3d_animation(tmp_path):
+    from mpd_tpu.viz import PlanningVisualizer
+    from mpd_tpu.world import PlanningTask, get_env, get_robot
+
+    robot = get_robot("RobotPanda")
+    task = PlanningTask(env=get_env("EnvSpheres3D"), robot=robot)
+    viz = PlanningVisualizer(task)
+    rng = np.random.RandomState(0)
+    qmin, qmax = np.asarray(robot.q_min), np.asarray(robot.q_max)
+    trajs = rng.uniform(qmin, qmax, (2, 8, 7)).astype(np.float32)
+    viz.animate_robot_trajectories(
+        trajs=trajs, start_state=trajs[0, 0], goal_state=trajs[0, -1],
+        video_filepath=str(tmp_path / "panda.mp4"), n_frames=3,
+    )
+    import os
+    assert any(os.path.exists(str(tmp_path / f"panda.{ext}")) for ext in ("mp4", "gif"))
