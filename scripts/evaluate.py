@@ -31,6 +31,10 @@ def main():
     p.add_argument("--n-guide-steps", type=int, default=5)
     p.add_argument("--start-guide-steps-fraction", type=float, default=0.25)
     p.add_argument("--use-extra-objects", type=int, default=1)
+    p.add_argument("--threshold-start-goal-pos", type=float, default=None,
+                   help="min start-goal joint distance for eval queries "
+                        "(default: the dataset's own threshold; the reference "
+                        "uses 1.83 for the Panda)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
@@ -97,7 +101,11 @@ def main():
         for _ in range(100):
             k1, sub = jax.random.split(k1)
             qs = ds.task.random_coll_free_q(sub, n_samples=2)
-            if float(jnp.linalg.norm(qs[0] - qs[1])) > ds.threshold_start_goal_pos:
+            if float(jnp.linalg.norm(qs[0] - qs[1])) > (
+                args.threshold_start_goal_pos
+                if args.threshold_start_goal_pos is not None
+                else ds.threshold_start_goal_pos
+            ):
                 break
         res = planner.plan(k2, qs[0], qs[1])
         row = {
