@@ -57,13 +57,22 @@ def guide_gradient_steps(
     n_guide_steps: int = 1,
     model_var: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """n guide ascent steps with re-pinning (ref sample_functions.py:65-83)."""
-    for _ in range(n_guide_steps):
+    """n guide ascent steps with re-pinning (ref sample_functions.py:65-83).
+
+    Scanned rather than Python-unrolled so traced program size (and remote
+    compile time) is independent of n_guide_steps.
+    """
+
+    def body(x, _):
         grad_scaled = guide_fn(x)
         if model_var is not None:
             grad_scaled = model_var * grad_scaled
         x = x + grad_scaled
-        x = apply_hard_conditioning(x, hard_conds)
+        return apply_hard_conditioning(x, hard_conds), None
+
+    if n_guide_steps == 1:
+        return body(x, None)[0]
+    x, _ = jax.lax.scan(body, x, None, length=n_guide_steps)
     return x
 
 

@@ -84,6 +84,10 @@ class MotionPlanner:
         schedule: DiffusionSchedule,
         eps_fn,  # eps_fn(x [B,H,D], t [B]) -> eps_hat (params already bound)
         config: PlannerConfig = PlannerConfig(),
+        params=None,  # optional: eps_fn(params, x, t); params passed as a
+        # traced argument so the compiled query is reused across checkpoints
+        # (closed-over params bake into the HLO as constants and force a
+        # fresh compile per weight set)
     ):
         self.dataset = dataset
         self.schedule = schedule
@@ -91,6 +95,7 @@ class MotionPlanner:
         # and pass its bound apply here — the chain state, guide gradients and
         # coefficient tables stay float32 regardless.
         self.eps_fn = eps_fn
+        self.params = params
         self.config = config
 
         task = dataset.task
@@ -157,15 +162,18 @@ class MotionPlanner:
             else 0
         )
 
-        def _query(key: jax.Array, hard_conds: HardConds):
+        def _query(key: jax.Array, hard_conds: HardConds, params):
+            step_eps_fn = (
+                eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
+            )
             if config.use_ddim:
                 x_final, chain = run_ddim_sampling(
-                    schedule, eps_fn, key, (B, H, D), hard_conds,
+                    schedule, step_eps_fn, key, (B, H, D), hard_conds,
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
                 )
             else:
                 x_final, chain = run_sampling(
-                    schedule, eps_fn, key, (B, H, D), hard_conds,
+                    schedule, step_eps_fn, key, (B, H, D), hard_conds,
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
                 )
             if n_post_steps:
@@ -211,7 +219,7 @@ class MotionPlanner:
 
         hard_conds = self.hard_conds_for(start_pos, goal_pos)
         t0 = time.perf_counter()
-        trajs_final, trajs_chain, free_mask = self._query(key, hard_conds)
+        trajs_final, trajs_chain, free_mask = self._query(key, hard_conds, self.params)
         jax.block_until_ready(trajs_final)
         t_total = time.perf_counter() - t0
 

@@ -203,7 +203,7 @@ def _fk_scalar_chain(q, xp, want_axes: bool = False):
             newR.extend(
                 [
                     _add(_m(r0, ct), _m(r1, sc), _m(r2, ss)),
-                    _add(_m(r0, _neg(st)), _m(r1, cc), _m(r2, cs)),
+                    _add(_m(r0, -st), _m(r1, cc), _m(r2, cs)),
                     _add(_m(r1, -sa), _m(r2, ca)),
                 ]
             )
@@ -211,10 +211,6 @@ def _fk_scalar_chain(q, xp, want_axes: bool = False):
         origins.append(list(p))
 
     return origins, axes, axis_pts
-
-
-def _neg(x):
-    return -x if not isinstance(x, float) else -x
 
 
 def _stack_scalar_vectors(vecs, q, xp):

@@ -84,8 +84,9 @@ def main():
     planner = MotionPlanner(
         ds,
         make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
-        lambda x, t: net.apply(params, x, t),
-        PlannerConfig(
+        lambda p, x, t: net.apply(p, x, t),
+        params=params,
+        config=PlannerConfig(
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,
             weight_grad_cost_collision=args.weight_grad_cost_collision,

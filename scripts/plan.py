@@ -89,12 +89,12 @@ def main():
     state, step = load_checkpoint(args.model_dir, trainer.state)
     print(f"loaded checkpoint @ step {step}")
     params = state.ema_params if margs.get("use_ema", True) else state.params
-    eps_fn = lambda x, t: net.apply(params, x, t)
+    eps_fn = lambda p, x, t: net.apply(p, x, t)
 
     schedule = make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"])
     planner = MotionPlanner(
-        ds, schedule, eps_fn,
-        PlannerConfig(
+        ds, schedule, eps_fn, params=params,
+        config=PlannerConfig(
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,
             start_guide_steps_fraction=args.start_guide_steps_fraction,
