@@ -95,7 +95,10 @@ class MotionPlanner:
         # and pass its bound apply here — the chain state, guide gradients and
         # coefficient tables stay float32 regardless.
         self.eps_fn = eps_fn
-        self.params = params
+        # device_put once: checkpoint params arrive as host arrays, and
+        # re-transferring ~16 MB of weights per query through the device
+        # tunnel would dominate the query latency
+        self.params = None if params is None else jax.device_put(params)
         self.config = config
 
         task = dataset.task
