@@ -108,11 +108,18 @@ def time_query(query, n_iters=10):
 
 
 def main():
+    from mpd_tpu.core import setup_runtime
+
+    setup_runtime()  # persistent compile cache: repeat runs skip the
+    # ~20 min remote cold compile of the guided query
+
     import jax
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
-    B_big = 2048
+    # batch-size scan on v5e-1 (scripts/profile_sampler.py + ad-hoc probe):
+    # 2048 -> 22.6k, 4096 -> 25.0k, 8192 -> 21.0k trajs/s; 4096 is the knee
+    B_big = 4096
     log(f"compiling large-batch query (B={B_big})...")
     q_big = build_query(B_big)
     t_big = time_query(q_big, n_iters=10)
