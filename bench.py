@@ -26,7 +26,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_query(B, H=64, schedule_steps=25):
+def build_query(B, H=64, schedule_steps=25, mesh=None):
+    """One compiled guided query over B candidates; with `mesh`, the
+    candidate axis is sharded across it (bench_multichip.py scaling lane).
+    Weights are randomly initialized — the workload is compute-identical to
+    a trained checkpoint (same program, same shapes); quality-bearing evals
+    live in scripts/evaluate.py."""
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +88,11 @@ def build_query(B, H=64, schedule_steps=25):
         0: jnp.broadcast_to(norm.normalize(start), (B, D)),
         H - 1: jnp.broadcast_to(norm.normalize(goal), (B, D)),
     }
+    if mesh is not None:
+        from mpd_tpu.parallel import replicate, shard_batch
+
+        hard_conds = shard_batch(mesh, hard_conds)
+        params = replicate(mesh, params)
 
     @jax.jit
     def query(key):

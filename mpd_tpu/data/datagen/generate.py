@@ -72,6 +72,7 @@ def generate_context(
     obstacle_cutoff_margin: float = 0.02,
     rrt_max_time: float = 120.0,
     gpmp_opt_iters: int = 300,
+    max_workers: int = -1,
     debug: bool = False,
 ) -> Dict:
     """Generate one context's worth of expert trajectories.
@@ -99,13 +100,17 @@ def generate_context(
     if start is None:
         raise ValueError("could not sample a valid start/goal pair")
 
-    # ---- RRT-Connect seeds (ref :71-89); native C++ planner when available
+    # ---- RRT-Connect seeds (ref :71-89); native C++ planner when available.
+    # Seed fan-out runs on a thread pool (ref MultiSampleBasedPlanner
+    # max_processes=-1, generate_trajectories.py:84-89): the C++ planner's
+    # ctypes call releases the GIL, so threads give real core-parallelism
+    # without the reference's fork/pickle overhead. max_workers=-1 -> one
+    # thread per seed (capped at cpu count); 1 -> sequential.
     rrt_params = env.get_rrt_connect_params(robot)
     rrt_params["max_time"] = rrt_max_time
     from mpd_tpu.native import NativeRRTConnect, native_available
 
-    paths = []
-    for i in range(num_trajectories):
+    def _plan_seed(i: int):
         if native_available():
             planner = NativeRRTConnect(
                 robot,
@@ -126,9 +131,21 @@ def generate_context(
                 max_time=rrt_params["max_time"],
                 seed=seed * 1000 + i,
             )
-        path = planner.plan(start, goal)
-        if path is not None:
-            paths.append(path)
+        return planner.plan(start, goal)
+
+    if max_workers == 1:
+        results = [_plan_seed(i) for i in range(num_trajectories)]
+    else:
+        n_workers = (
+            min(num_trajectories, os.cpu_count() or 1)
+            if max_workers < 0
+            else max_workers
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(_plan_seed, range(num_trajectories)))
+    paths = [p for p in results if p is not None]
     if not paths:
         raise RuntimeError("RRT-Connect found no path for this context")
 

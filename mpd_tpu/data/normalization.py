@@ -71,14 +71,28 @@ def fit_limits_normalizer(data: jnp.ndarray) -> LimitsNormalizer:
 
 
 def fit_safe_limits_normalizer(data: jnp.ndarray, eps: float = 1.0) -> LimitsNormalizer:
-    """Widens constant dimensions so the span never degenerates
-    (ref SafeLimitsNormalizer, normalization.py:170-184)."""
+    """Widens the limits so the span never degenerates
+    (ref SafeLimitsNormalizer, normalization.py:170-184).
+
+    The reference's loop widens ALL dimensions by eps once per degenerate
+    dimension (`self.mins -= eps` on the whole tensor inside the per-dim
+    loop) — a quirk, preserved here: k degenerate dims -> every dim widened
+    by k*eps."""
     flat = _flat(data)
     mins, maxs = flat.min(axis=0), flat.max(axis=0)
-    degenerate = jnp.any(mins == maxs)
-    mins = jnp.where(degenerate, mins - eps, mins)
-    maxs = jnp.where(degenerate, maxs + eps, maxs)
-    return LimitsNormalizer(mins=mins, maxs=maxs)
+    k = jnp.sum(mins == maxs)
+    return LimitsNormalizer(mins=mins - k * eps, maxs=maxs + k * eps)
+
+
+def fit_fixed_limits_normalizer(
+    data: jnp.ndarray, min: float = -1.0, max: float = 1.0
+) -> LimitsNormalizer:
+    """Limits fixed a priori, not derived from the data
+    (ref FixedLimitsNormalizer, normalization.py:187-195)."""
+    D = data.shape[-1]
+    return LimitsNormalizer(
+        mins=jnp.full((D,), min, jnp.float32), maxs=jnp.full((D,), max, jnp.float32)
+    )
 
 
 def fit_gaussian_normalizer(data: jnp.ndarray) -> GaussianNormalizer:
@@ -89,6 +103,7 @@ def fit_gaussian_normalizer(data: jnp.ndarray) -> GaussianNormalizer:
 _FITTERS = {
     "LimitsNormalizer": fit_limits_normalizer,
     "SafeLimitsNormalizer": fit_safe_limits_normalizer,
+    "FixedLimitsNormalizer": fit_fixed_limits_normalizer,
     "GaussianNormalizer": fit_gaussian_normalizer,
     "Identity": lambda data: IdentityNormalizer(),
 }

@@ -17,7 +17,7 @@ Timestep convention (matches the reference exactly):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,11 @@ class SamplerConfig:
     n_guide_steps: int = 5
     t_start_guide: int = 7  # guide active for steps with i < t_start_guide
     n_extra_steps: int = 5  # extra noiseless steps after t=0 (ref: n_diffusion_steps_without_noise)
-    noise_std_extra: float = 0.5  # temperature on the injected noise (ref: noise_std_extra_schedule_fn)
+    # temperature on the injected noise: a float, or a schedule fn of the
+    # (clamped) timestep t -> std, matching the reference's
+    # noise_std_extra_schedule_fn contract (ref sample_functions.py:56-59,
+    # inference.py:243 passes `lambda t: 0.5`)
+    noise_std_extra: Union[float, Callable[[jnp.ndarray], jnp.ndarray]] = 0.5
     scale_grad_by_std: bool = False
     clip_denoised: bool = True
     predict_epsilon: bool = True
@@ -110,7 +114,13 @@ def ddpm_sample_step(
 
     noise = jax.random.normal(key, x.shape, x.dtype)
     noise = noise * (i > 0).astype(x.dtype)  # no noise when t == 0
-    return x + model_std * noise * cfg.noise_std_extra
+    return x + model_std * noise * _noise_std_extra(cfg, jnp.maximum(i, 0))
+
+
+def _noise_std_extra(cfg: SamplerConfig, t):
+    """Evaluate the noise-temperature knob at timestep t (float or fn-of-t)."""
+    nse = cfg.noise_std_extra
+    return nse(t) if callable(nse) else nse
 
 
 def _chain_noises(
@@ -126,7 +136,9 @@ def _chain_noises(
     z = jax.random.normal(key, (S,) + shape, schedule.betas.dtype)
     t_eff = np.maximum(np.array(steps), 0)
     std = np.asarray(schedule.posterior_std)[t_eff]  # [S]
-    mult = (np.array(steps) > 0).astype(np.float32) * cfg.noise_std_extra
+    # steps are static -> the schedule fn is evaluated host-side per step
+    temps = np.array([float(_noise_std_extra(cfg, int(t))) for t in t_eff])
+    mult = (np.array(steps) > 0).astype(np.float32) * temps
     scale = jnp.asarray(std * mult, schedule.betas.dtype)
     return z * scale[:, None, None, None]
 

@@ -1,9 +1,9 @@
 from mpd_tpu.parallel.mesh import (
     make_mesh,
+    batch_sharding,
     shard_batch,
     replicate,
-    sharded_train_step,
-    sharded_sampler,
+    constrain_batch,
 )
 from mpd_tpu.parallel.distributed import (
     initialize,

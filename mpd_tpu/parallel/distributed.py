@@ -10,8 +10,8 @@ TPU-native equivalents:
   shard of context ids (contexts are independent; the dataset loader
   ignores missing dirs, so partial results compose exactly like the
   reference's per-context SLURM jobs).
-- `all_reduce_metrics()` — cross-host metric reduction via psum on a
-  host-local scalar pytree.
+- `all_reduce_metrics()` — cross-host mean of a host-local scalar pytree
+  (one process_allgather over DCN; identity mean single-process).
 - `global_best_trajectory()` — the cross-device argmin + gather that ends a
   sharded planning query: each device scores its candidate shard, the
   globally best plan is selected with one small collective.
@@ -24,7 +24,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
 
 def initialize(
@@ -54,13 +53,23 @@ def shard_contexts(
     return range(pid * per, min((pid + 1) * per, n_contexts))
 
 
-def all_reduce_metrics(mesh: Mesh, metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
-    """Mean-reduce per-device scalar metrics across the mesh."""
-    @jax.jit
-    def _reduce(m):
-        return jax.tree.map(lambda x: jnp.mean(x), m)
+def all_reduce_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+    """Mean-reduce host-local scalar metrics across every process.
 
-    return {k: float(v) for k, v in _reduce(metrics).items()}
+    Each host computes metrics over its own shard of the work (e.g. its
+    datagen contexts or eval queries); the cross-host mean rides one
+    `process_allgather` per call — DCN traffic is num_processes scalars per
+    metric. Single-process it degenerates to the identity mean, so callers
+    need no host-count branch.
+    """
+    if jax.process_count() == 1:
+        return {k: float(jnp.mean(jnp.asarray(v))) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        {k: jnp.mean(jnp.asarray(v)) for k, v in metrics.items()}
+    )
+    return {k: float(np.mean(v)) for k, v in gathered.items()}
 
 
 def global_best_trajectory(

@@ -11,6 +11,12 @@ The model is ~1-4 M params -> replicate params, shard batch (no TP/PP/SP
 needed; that is a property of the workload, not a shortcut). The mesh is 1-D
 ('data',) over ICI; multi-host extends the same axis over DCN via
 jax.distributed.
+
+These helpers are the placement vocabulary used by the production classes:
+`Trainer(mesh=...)` (mpd_tpu/train/trainer.py) runs its scan-fused step
+data-parallel, and `MotionPlanner(mesh=...)` (mpd_tpu/planner/inference.py)
+shards the candidate axis of the guided query and selects the best plan
+on-device via `parallel.global_best_trajectory`.
 """
 
 from __future__ import annotations
@@ -25,16 +31,24 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+    # Auto axis type: shardings flow via propagation + with_sharding_constraint
+    # (this jax's make_mesh defaults to Explicit, which rejects constraints)
+    return jax.make_mesh(
+        (len(devices),), (axis_name,), devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
+    """NamedSharding splitting axis 0 of an ndim-rank array across the mesh."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 
 def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
     """Place a [B, ...] pytree with B sharded across the mesh."""
-    def _shard(a):
-        spec = P(axis_name, *([None] * (a.ndim - 1)))
-        return jax.device_put(a, NamedSharding(mesh, spec))
-
-    return jax.tree.map(_shard, x)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim, axis_name)), x
+    )
 
 
 def replicate(mesh: Mesh, x):
@@ -44,31 +58,14 @@ def replicate(mesh: Mesh, x):
     )
 
 
-def sharded_train_step(train_step_fn, mesh: Mesh, axis_name: str = "data"):
-    """Wrap a per-batch train step for data-parallel execution.
-
-    train_step_fn(state, key) gathers its batch internally from on-device
-    data; for DP we instead take the batch explicitly:
-    fn(state, batch, key) -> (state, loss). Shardings: state replicated,
-    batch split on axis 0; XLA inserts the grad psum.
-    """
-    batch_sharding = NamedSharding(mesh, P(axis_name, None, None))
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        train_step_fn,
-        in_shardings=(repl, batch_sharding, repl),
-        out_shardings=(repl, repl),
+def constrain_batch(mesh: Optional[Mesh], x, axis_name: str = "data"):
+    """Inside-jit sharding constraint: axis 0 of every leaf split across the
+    mesh. No-op when mesh is None, so single-device code paths are untouched."""
+    if mesh is None:
+        return x
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, batch_sharding(mesh, a.ndim, axis_name)
+        ),
+        x,
     )
-
-
-def sharded_sampler(sample_fn, mesh: Mesh, axis_name: str = "data"):
-    """Wrap a sampling query fn(key, hard_conds)->outputs for batch sharding.
-
-    hard_conds values are [B, D] (one row per candidate); the candidate axis
-    is sharded across the mesh, the PRNG key replicated. Call the wrapper
-    with hard_conds already placed via `shard_batch` — jit then propagates
-    the shardings through the whole chain, keeping every candidate's denoise
-    and guide computation device-local.
-    """
-    del mesh, axis_name  # shardings propagate from the placed operands
-    return jax.jit(sample_fn)

@@ -22,8 +22,11 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from mpd_tpu.costs.cost_functions import CostCollision, CostComposite, CostGPTrajectory
+from mpd_tpu.parallel.distributed import global_best_trajectory
+from mpd_tpu.parallel.mesh import replicate, shard_batch
 from mpd_tpu.costs.guide import (
     GuideTrajectoriesPositionOnly,
     GuideTrajectoriesWithVelocity,
@@ -32,11 +35,7 @@ from mpd_tpu.diffusion.gaussian_diffusion import HardConds
 from mpd_tpu.diffusion.sampler import SamplerConfig, run_ddim_sampling, run_sampling
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
 from mpd_tpu.data.dataset import TrajectoryDataset
-from mpd_tpu.world.task import (
-    compute_path_length,
-    compute_smoothness,
-    compute_variance_waypoints,
-)
+from mpd_tpu.world.task import compute_path_length, compute_smoothness
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +52,9 @@ class PlannerConfig:
     factor_num_interpolated_points_for_collision: float = 1.5
     trajectory_duration: float = 5.0
     use_guide_on_extra_objects_only: bool = False
-    noise_std_extra: float = 0.5
+    # float or schedule fn of t (ref noise_std_extra_schedule_fn,
+    # inference.py:55,243 — passed through to SamplerConfig unchanged)
+    noise_std_extra: object = 0.5
     # DDIM subsequence sampling instead of the full DDPM chain
     # (ref diffusion_model_base.py:184-259; selectable at inference.py:256)
     use_ddim: bool = False
@@ -88,9 +89,15 @@ class MotionPlanner:
         # traced argument so the compiled query is reused across checkpoints
         # (closed-over params bake into the HLO as constants and force a
         # fresh compile per weight set)
+        mesh: Optional[Mesh] = None,
+        # mesh shards the candidate axis across devices: params replicated,
+        # hard conds (and hence the whole denoise/guide chain) split on the
+        # mesh's 'data' axis; the only cross-device traffic is the final
+        # best-plan argmin collective (parallel.global_best_trajectory).
     ):
         self.dataset = dataset
         self.schedule = schedule
+        self.mesh = mesh
         # bf16 inference: construct the TemporalUnet with dtype=jnp.bfloat16
         # and pass its bound apply here — the chain state, guide gradients and
         # coefficient tables stay float32 regardless.
@@ -98,7 +105,12 @@ class MotionPlanner:
         # device_put once: checkpoint params arrive as host arrays, and
         # re-transferring ~16 MB of weights per query through the device
         # tunnel would dominate the query latency
-        self.params = None if params is None else jax.device_put(params)
+        if params is None:
+            self.params = None
+        elif mesh is not None:
+            self.params = replicate(mesh, params)
+        else:
+            self.params = jax.device_put(params)
         self.config = config
 
         task = dataset.task
@@ -197,7 +209,37 @@ class MotionPlanner:
             trajs_chain = dataset.unnormalize_trajectories(chain)
             trajs_final = trajs_chain[-1]
             free_mask = task.trajs_free_mask(trajs_final)
-            return trajs_final, trajs_chain, free_mask
+
+            # per-candidate scoring + best-plan selection stay on device
+            # (one program; under a sharded candidate axis the argmin lowers
+            # to the query's only collective). Ref scores only the free
+            # subset (inference.py:312-327) — masking with +inf is identical.
+            cost_sm = compute_smoothness(trajs_final, robot)
+            cost_pl = compute_path_length(trajs_final, robot)
+            costs = jnp.where(free_mask, cost_sm + cost_pl, jnp.inf)
+            best_traj, best_cost, idx_best = global_best_trajectory(
+                trajs_final, costs
+            )
+            coll_intensity = task.compute_collision_intensity_trajs(trajs_final)
+
+            # variance-of-waypoints over the free subset, mask-weighted so
+            # the program shape is independent of how many candidates are
+            # free (a dynamic-slice version would recompile per free-count)
+            w = free_mask.astype(trajs_final.dtype)
+            nfree = jnp.maximum(w.sum(), 1.0)
+            q = robot.get_position(trajs_final)
+            q_mean = (w[:, None, None] * q).sum(0) / nfree
+            var_wp = ((w[:, None] * ((q - q_mean) ** 2).sum(-1)).sum(0) / nfree).sum()
+
+            metrics = dict(
+                cost_smoothness=cost_sm,
+                cost_path_length=cost_pl,
+                best_cost=best_cost,
+                idx_best=idx_best,
+                collision_intensity=coll_intensity,
+                variance_waypoints=var_wp,
+            )
+            return trajs_final, trajs_chain, free_mask, metrics
 
         self._query = jax.jit(_query)
 
@@ -208,7 +250,15 @@ class MotionPlanner:
             normalize=True,
         )
         # broadcast to the sample batch (ref run_inference, diffusion_model_base.py:292-294)
-        return {k: jnp.broadcast_to(v, (self.config.n_samples,) + v.shape) for k, v in conds.items()}
+        conds = {
+            k: jnp.broadcast_to(v, (self.config.n_samples,) + v.shape)
+            for k, v in conds.items()
+        }
+        if self.mesh is not None:
+            # placing the conds sharded is what makes jit lay the whole
+            # candidate chain out across the mesh (shardings propagate)
+            conds = shard_batch(self.mesh, conds)
+        return conds
 
     def plan(
         self,
@@ -222,28 +272,28 @@ class MotionPlanner:
 
         hard_conds = self.hard_conds_for(start_pos, goal_pos)
         t0 = time.perf_counter()
-        trajs_final, trajs_chain, free_mask = self._query(key, hard_conds, self.params)
+        trajs_final, trajs_chain, free_mask, dm = self._query(
+            key, hard_conds, self.params
+        )
         jax.block_until_ready(trajs_final)
         t_total = time.perf_counter() - t0
 
-        task, robot = self.dataset.task, self.dataset.robot
         free_mask_np = np.asarray(free_mask)
         success = int(free_mask_np.any())
         fraction_free = float(free_mask_np.mean())
-        collision_intensity = float(task.compute_collision_intensity_trajs(trajs_final))
+        collision_intensity = float(dm["collision_intensity"])
 
         idx_best = cost_best = None
         cost_sm = cost_pl = var_wp = None
         if success:
+            # host side only re-slices the device-computed per-candidate
+            # metrics to the free subset for reporting (mean/std)
             free_idxs = np.nonzero(free_mask_np)[0]
-            trajs_free = trajs_final[jnp.asarray(free_idxs)]
-            cost_sm = np.asarray(compute_smoothness(trajs_free, robot))
-            cost_pl = np.asarray(compute_path_length(trajs_free, robot))
-            cost_all = cost_sm + cost_pl
-            best_local = int(np.argmin(cost_all))
-            idx_best = int(free_idxs[best_local])
-            cost_best = float(cost_all[best_local])
-            var_wp = float(compute_variance_waypoints(trajs_free, robot))
+            cost_sm = np.asarray(dm["cost_smoothness"])[free_idxs]
+            cost_pl = np.asarray(dm["cost_path_length"])[free_idxs]
+            idx_best = int(dm["idx_best"])
+            cost_best = float(dm["best_cost"])
+            var_wp = float(dm["variance_waypoints"])
 
         return PlanningResult(
             trajs_final=np.asarray(trajs_final),

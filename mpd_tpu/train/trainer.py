@@ -28,9 +28,11 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mpd_tpu.diffusion.gaussian_diffusion import diffusion_loss
 from mpd_tpu.diffusion.schedules import DiffusionSchedule
+from mpd_tpu.parallel.mesh import constrain_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,10 +75,17 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
         val_fraction: float = 0.05,
         seed: int = 0,
+        mesh: Optional[Mesh] = None,
     ):
+        """`mesh` turns the scan-fused step data-parallel: params/opt state
+        replicated, the gathered batch sharded on axis 0 of the mesh's
+        'data' axis — XLA inserts the gradient psum over ICI. Single-device
+        semantics are bit-preserved (same batch indices, same loss math);
+        only the layout changes."""
         self.net = net
         self.schedule = schedule
         self.config = config
+        self.mesh = mesh
 
         n = trajs_normalized.shape[0]
         n_val = max(1, int(round(n * val_fraction)))
@@ -103,6 +112,15 @@ class Trainer:
             opt_state=self.tx.init(params),
             step=jnp.asarray(0, jnp.int32),
         )
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, repl)
+            # dataset replicated on every device; the per-step gather then
+            # needs no communication, and the batch constraint inside the
+            # step re-lays the gathered rows out across the 'data' axis
+            self.train_data = jax.device_put(self.train_data, repl)
+            self.val_data = jax.device_put(self.val_data, repl)
 
         self._train_step = jax.jit(self._make_train_step())
         self._val_loss = jax.jit(self._make_val_loss())
@@ -134,7 +152,7 @@ class Trainer:
         def step_fn(state: TrainState, key: jax.Array):
             key_idx, key_loss = jax.random.split(key)
             idx = jax.random.randint(key_idx, (cfg.batch_size,), 0, n)
-            batch = data[idx]
+            batch = constrain_batch(self.mesh, data[idx])
 
             loss, grads = jax.value_and_grad(self._batch_loss)(
                 state.params, batch, key_loss
@@ -159,7 +177,8 @@ class Trainer:
 
     def _make_val_loss(self):
         def val_fn(params, key):
-            return self._batch_loss(params, self.val_data, key)
+            batch = constrain_batch(self.mesh, self.val_data)
+            return self._batch_loss(params, batch, key)
 
         return val_fn
 
@@ -171,9 +190,23 @@ class Trainer:
         log_every: int = 1000,
         callback: Optional[Callable[[int, Dict], None]] = None,
         steps_per_call: int = 100,
+        summary_fn: Optional[Callable[[int], Dict]] = None,
+        logger=None,
+        step_offset: int = 0,
     ) -> Dict:
         """Run the training loop. `steps_per_call` steps are fused into one
-        device call via lax.scan to amortize dispatch."""
+        device call via lax.scan to amortize dispatch.
+
+        Every `config.steps_til_summary` steps (counted from `step_offset`,
+        so resumed runs keep the cadence) the in-training evaluation fires:
+        `summary_fn(step)` — typically `train.summary.RolloutSummary` bound
+        to the dataset and called on the EMA params — returns a metrics dict
+        merged with the train/val losses and sent to `logger.log`
+        (ExperimentLogger, or anything with .log(dict, step=)). This is the
+        counterpart of the reference's periodic validation + 25-sample EMA
+        rollout + wandb logging (ref mpd/trainer/trainer.py:194-265,
+        mpd/summaries/summary_trajectory_generation.py:16-96).
+        """
         cfg = self.config
         num_steps = num_steps or cfg.num_train_steps
         key = key if key is not None else jax.random.PRNGKey(42)
@@ -202,10 +235,21 @@ class Trainer:
                     self.state, loss = self._train_step(self.state, sub)
             done += chunk
 
-            if done % log_every < steps_per_call:
+            do_log = done % log_every < steps_per_call
+            do_summary = (step_offset + done) % cfg.steps_til_summary < steps_per_call and (
+                summary_fn is not None or logger is not None
+            )
+            if do_log or do_summary:
                 key, vkey = jax.random.split(key)
                 val_loss = float(self._val_loss(self.state.params, vkey))
-                history["step"].append(done)
+            if do_summary:
+                metrics = {"train_loss": float(loss), "val_loss": val_loss}
+                if summary_fn is not None:
+                    metrics.update(summary_fn(step_offset + done))
+                if logger is not None:
+                    logger.log(metrics, step=step_offset + done)
+            if do_log:
+                history["step"].append(step_offset + done)
                 history["train_loss"].append(float(loss))
                 history["val_loss"].append(val_loss)
                 if callback is not None:

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--obstacle-cutoff-margin", type=float, default=0.02)
     p.add_argument("--rrt-max-time", type=float, default=120.0)
     p.add_argument("--gpmp-opt-iters", type=int, default=300)
+    p.add_argument("--max-workers", type=int, default=-1,
+                   help="RRT seed fan-out threads (ref MultiSampleBasedPlanner "
+                        "max_processes; -1 = one per seed, 1 = sequential)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
 
@@ -60,6 +63,7 @@ def main():
                 obstacle_cutoff_margin=args.obstacle_cutoff_margin,
                 rrt_max_time=args.rrt_max_time,
                 gpmp_opt_iters=args.gpmp_opt_iters,
+                max_workers=args.max_workers,
             )
             n_ok += 1
             print(

@@ -41,6 +41,10 @@ def main():
     p.add_argument("--results-dir", default=None)
     p.add_argument("--n-queries", type=int, default=1)
     p.add_argument("--use-ddim", action="store_true")
+    p.add_argument("--n-devices", type=int, default=0,
+                   help=">1: shard the candidate batch over the first N "
+                        "devices (params replicated; best-plan argmin is "
+                        "the only collective)")
     p.add_argument("--render", action="store_true",
                    help="save trajectory figures + denoise-chain animation")
     p.add_argument("--cpu", action="store_true")
@@ -91,9 +95,16 @@ def main():
     params = state.ema_params if margs.get("use_ema", True) else state.params
     eps_fn = lambda p, x, t: net.apply(p, x, t)
 
+    mesh = None
+    if args.n_devices > 1:
+        from mpd_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+        print(f"candidate batch sharded over {args.n_devices} devices")
+
     schedule = make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"])
     planner = MotionPlanner(
-        ds, schedule, eps_fn, params=params,
+        ds, schedule, eps_fn, params=params, mesh=mesh,
         config=PlannerConfig(
             planner_alg=args.planner_alg,
             n_samples=args.n_samples,

@@ -37,7 +37,18 @@ def main():
     p.add_argument("--use-ema", type=int, default=1)
     p.add_argument("--use-bf16", type=int, default=0)
     p.add_argument("--steps-til-checkpoint", type=int, default=50_000)
+    p.add_argument("--steps-til-summary", type=int, default=20_000,
+                   help="periodic val + EMA rollout summary cadence (ref trainer.py:194-265)")
+    p.add_argument("--summary-samples", type=int, default=25)
+    p.add_argument("--no-summary", action="store_true",
+                   help="disable the periodic rollout summary")
+    p.add_argument("--wandb-mode", default="disabled",
+                   choices=("disabled", "online", "offline"))
+    p.add_argument("--wandb-project", default=None)
     p.add_argument("--log-every", type=int, default=2_000)
+    p.add_argument("--n-devices", type=int, default=0,
+                   help=">1: data-parallel over the first N devices "
+                        "(params replicated, batch sharded over ICI)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -77,8 +88,15 @@ def main():
         use_bf16=bool(args.use_bf16),
         predict_epsilon=bool(args.predict_epsilon),
         steps_til_checkpoint=args.steps_til_checkpoint,
+        steps_til_summary=args.steps_til_summary,
     )
-    trainer = Trainer(net, schedule, ds.trajs_normalized, cfg, seed=args.seed)
+    mesh = None
+    if args.n_devices > 1:
+        from mpd_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+        print(f"data-parallel over {args.n_devices} devices: {mesh}")
+    trainer = Trainer(net, schedule, ds.trajs_normalized, cfg, seed=args.seed, mesh=mesh)
 
     os.makedirs(args.out, exist_ok=True)
     start_step = 0
@@ -114,9 +132,38 @@ def main():
     with open(os.path.join(args.out, "args.yaml"), "w") as f:
         yaml.safe_dump(model_args, f)
 
+    # in-training observability (ref trainer.py:194-265): periodic val loss +
+    # EMA rollout collision stats via a compiled-once summary, logged through
+    # ExperimentLogger (stdout always; wandb when enabled)
+    from mpd_tpu.train import ExperimentLogger, RolloutSummary
+
+    logger = ExperimentLogger(
+        project=args.wandb_project,
+        config=model_args,
+        mode=args.wandb_mode,
+    )
+    summary_fn = None
+    if not args.no_summary:
+        summary = RolloutSummary(ds, schedule, net.apply, n_samples=args.summary_samples)
+
+        def summary_fn(step):
+            return summary(
+                trainer.state.ema_params if cfg.use_ema else trainer.state.params,
+                jax.random.PRNGKey(args.seed * 104729 + step),
+            )
+
     remaining = args.num_train_steps - start_step
     ckpt_interval = args.steps_til_checkpoint
     done = start_step
+    history = {"step": [], "train_loss": [], "val_loss": []}
+    tl_path = os.path.join(args.out, "train_loss_history.npy")
+    if start_step > 0 and os.path.exists(tl_path):  # resumed: extend history
+        tl = np.load(tl_path)
+        vl = np.load(os.path.join(args.out, "val_loss_history.npy"))
+        keep = tl[0] <= start_step
+        history["step"] = tl[0][keep].tolist()
+        history["train_loss"] = tl[1][keep].tolist()
+        history["val_loss"] = vl[1][keep].tolist()
     while remaining > 0:
         chunk = min(ckpt_interval, remaining)
         hist = trainer.fit(
@@ -127,13 +174,25 @@ def main():
                 f"step {base + s}: train {m['train_loss']:.5f} val {m['val_loss']:.5f}",
                 flush=True,
             ),
+            summary_fn=summary_fn,
+            logger=logger,
+            step_offset=done,
         )
         done += chunk
         remaining -= chunk
+        for k in history:
+            history[k].extend(hist[k])
         save_checkpoint(args.out, done, trainer.state, extra=model_args)
+        # loss history on disk next to the checkpoints
+        # (ref trainer.py:40-42 persists .npy loss arrays)
+        np.save(os.path.join(args.out, "train_loss_history.npy"),
+                np.asarray([history["step"], history["train_loss"]]))
+        np.save(os.path.join(args.out, "val_loss_history.npy"),
+                np.asarray([history["step"], history["val_loss"]]))
         sps = chunk / max(hist["elapsed_s"], 1e-9)
         print(f"checkpoint @ step {done} ({sps:.0f} steps/s)", flush=True)
 
+    logger.finish()
     print("training complete")
 
 

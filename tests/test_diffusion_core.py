@@ -132,3 +132,31 @@ def test_guided_sampling_moves_toward_lower_cost(sched):
     assert mid_guided > mid_plain + 0.05
     # endpoints still pinned
     np.testing.assert_allclose(np.asarray(x_guided[:, 0]), 0.0, atol=1e-6)
+
+
+def test_noise_std_extra_schedule_fn_matches_constant():
+    """noise_std_extra accepts a schedule fn of t (ref
+    noise_std_extra_schedule_fn, sample_functions.py:56-59; inference.py:243
+    passes `lambda t: 0.5`) — a constant fn must reproduce the float path
+    bit-for-bit, and a t-dependent fn must change the injected noise."""
+    import jax
+
+    from mpd_tpu.diffusion import SamplerConfig, make_schedule, run_sampling
+
+    sched = make_schedule("exponential", 10)
+    B, H, D = 3, 8, 2
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.5}
+    eps_fn = lambda x, t: 0.1 * x
+
+    def run(nse):
+        return run_sampling(
+            sched, eps_fn, jax.random.PRNGKey(0), (B, H, D), conds,
+            SamplerConfig(t_start_guide=-(10**9), n_extra_steps=2, noise_std_extra=nse),
+        )
+
+    x_const = run(0.5)
+    x_fn = run(lambda t: 0.5)
+    np.testing.assert_array_equal(np.asarray(x_const), np.asarray(x_fn))
+
+    x_decay = run(lambda t: 0.5 * t / sched.n_steps)
+    assert not np.allclose(np.asarray(x_const), np.asarray(x_decay))

@@ -1,16 +1,40 @@
-"""Sharding tests on the virtual 8-device CPU mesh: data-parallel training
-and candidate-batch-sharded sampling must agree with single-device runs
-(SURVEY.md section 4 item 4, section 5.2 determinism-across-shardings)."""
+"""Sharding tests on the virtual 8-device CPU mesh, exercising the
+PRODUCTION classes: Trainer(mesh=...) data-parallel training and
+MotionPlanner(mesh=...) candidate-sharded planning must agree with their
+single-device runs (SURVEY.md section 4 item 4, section 5.2
+determinism-across-shardings)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mpd_tpu.data import TrajectoryDataset
 from mpd_tpu.diffusion import SamplerConfig, make_schedule, run_sampling
 from mpd_tpu.nets.temporal_unet import TemporalUnet
-from mpd_tpu.parallel import make_mesh, replicate, shard_batch
+from mpd_tpu.parallel import make_mesh, shard_batch
+from mpd_tpu.planner import MotionPlanner, PlannerConfig
+from mpd_tpu.train import TrainConfig, Trainer
+
+
+def _toy_trajs(n=64, H=16):
+    rng = np.random.RandomState(0)
+    u = np.linspace(0, 1, H)[None, :, None]
+    a = rng.uniform(-0.9, -0.5, (n, 1, 2))
+    b = rng.uniform(0.5, 0.9, (n, 1, 2))
+    pos = a * (1 - u) + b * u
+    vel = np.gradient(pos, 5.0 / H, axis=1)
+    return np.concatenate([pos, vel], axis=-1).astype(np.float32)
+
+
+def _toy_dataset():
+    return TrajectoryDataset(
+        base_dir="unused",
+        trajectories=_toy_trajs(),
+        env_id="EnvSimple2D",
+        robot_id="RobotPointMass",
+        include_velocity=True,
+    )
 
 
 @pytest.fixture(scope="module")
@@ -48,43 +72,58 @@ def test_sharded_sampling_matches_single_device(setup):
     )
 
 
-def test_dp_train_step_matches_single_device(setup):
-    net, params, sched, H, D = setup
-    import optax
+def test_trainer_dp_matches_single_device(setup):
+    """The PRODUCTION Trainer's scan-fused step, run data-parallel on the
+    mesh, must reproduce the single-device trajectory (same seeds, same
+    batch indices — only the layout differs)."""
+    trajs = _toy_trajs(n=64)
+    cfg = TrainConfig(batch_size=16, lr=1e-3, steps_til_summary=10**9)
 
-    from mpd_tpu.diffusion.gaussian_diffusion import diffusion_loss
+    def build(mesh):
+        net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2))
+        return Trainer(net, make_schedule("exponential", 25), trajs, cfg, seed=0, mesh=mesh)
 
-    B = 16
-    tx = optax.adam(1e-3)
-    opt_state = tx.init(params)
-    batch_host = jax.random.normal(jax.random.PRNGKey(5), (B, H, D)) * 0.5
+    t_single = build(None)
+    t_dp = build(make_mesh(8))
 
-    def train_step(params, opt_state, batch, key):
-        def loss_fn(p):
-            conds = {0: batch[:, 0, :], H - 1: batch[:, -1, :]}
-            return diffusion_loss(sched, lambda x, t: net.apply(p, x, t), key, batch, conds)
+    h_single = t_single.fit(num_steps=30, key=jax.random.PRNGKey(3), steps_per_call=10, log_every=10)
+    h_dp = t_dp.fit(num_steps=30, key=jax.random.PRNGKey(3), steps_per_call=10, log_every=10)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), loss
-
-    key = jax.random.PRNGKey(7)
-    p_single, loss_single = jax.jit(train_step)(params, opt_state, batch_host, key)
-
-    mesh = make_mesh(8)
-    repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P("data", None, None))
-    step_sharded = jax.jit(train_step, in_shardings=(repl, repl, bsh, repl))
-    p_shard, loss_shard = step_sharded(
-        replicate(mesh, params), replicate(mesh, opt_state),
-        jax.device_put(batch_host, bsh), key,
-    )
-
-    assert float(loss_single) == pytest.approx(float(loss_shard), rel=1e-5)
+    assert h_single["train_loss"][-1] == pytest.approx(h_dp["train_loss"][-1], rel=2e-3)
     # Adam divides by sqrt(v): reduction-order noise in the psum'd grads gets
     # amplified near-zero — compare against the update scale (lr=1e-3)
-    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_shard)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(t_single.state.params), jax.tree.leaves(t_dp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+    # EMA stayed in sync too (hard-copy regime at these step counts)
+    for a, b in zip(jax.tree.leaves(t_single.state.ema_params), jax.tree.leaves(t_dp.state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_motion_planner_sharded_matches_single_device(setup):
+    """The PRODUCTION MotionPlanner with mesh= shards the candidate axis;
+    results (trajectories, free mask, on-device best index) must match the
+    single-device query."""
+    net, _, sched, H, D = setup
+    ds = _toy_dataset()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, H, D)), jnp.zeros((2,), jnp.int32))
+    eps_fn = lambda p, x, t: net.apply(p, x, t)
+    cfg = PlannerConfig(n_samples=16)
+
+    plan_args = (jax.random.PRNGKey(1), jnp.asarray([-0.7, -0.7]), jnp.asarray([0.7, 0.7]))
+    res_single = MotionPlanner(ds, sched, eps_fn, cfg, params=params).plan(*plan_args)
+    res_shard = MotionPlanner(ds, sched, eps_fn, cfg, params=params, mesh=make_mesh(8)).plan(*plan_args)
+
+    np.testing.assert_allclose(
+        res_single.trajs_final, res_shard.trajs_final, rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(res_single.free_mask, res_shard.free_mask)
+    assert res_single.success == res_shard.success
+    if res_single.success:
+        assert res_single.idx_best == res_shard.idx_best
+        assert res_single.cost_best == pytest.approx(res_shard.cost_best, rel=1e-3)
+        assert res_single.variance_waypoints == pytest.approx(
+            res_shard.variance_waypoints, rel=1e-3
+        )
 
 
 def test_ddim_sampler_runs_and_pins(setup):

