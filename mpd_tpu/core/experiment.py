@@ -147,7 +147,13 @@ class Launcher:
                         "results_dir", os.path.join(self.results_dir, self.exp_name)
                     )
                 for k, v in full.items():
-                    cmd += ["--" + k.replace("_", "-"), str(v)]
+                    # bools map to bare store_true flags: True -> --flag,
+                    # False -> omitted (argparse store_true takes no value)
+                    if isinstance(v, bool):
+                        if v:
+                            cmd += ["--" + k.replace("_", "-")]
+                    else:
+                        cmd += ["--" + k.replace("_", "-"), str(v)]
                 jobs.append(cmd)
 
         if test:

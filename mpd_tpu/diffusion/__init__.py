@@ -22,7 +22,6 @@ from mpd_tpu.diffusion.sampler import (
     SamplerConfig,
     ddpm_sample_step,
     run_sampling,
-    run_sampling_parallel,
     run_ddim_sampling,
     guide_gradient_steps,
 )

@@ -159,8 +159,8 @@ def run_sampling(
     Returns final x [B,H,D], or (final, chain [S+1,B,H,D]) with the initial
     noise draw first, matching the reference's returned chain layout.
     `noises` optionally fixes the per-step additive noise [S, B, H, D]
-    (already scaled by posterior std and temperature; used for equivalence
-    tests against the parallel sampler).
+    (already scaled by posterior std and temperature) for deterministic
+    replay/equivalence testing.
     """
     T = schedule.n_steps
     steps = list(reversed(range(-cfg.n_extra_steps, T)))  # e.g. 24..0,-1..-5
@@ -214,101 +214,6 @@ def run_sampling(
         chain = jnp.concatenate([chain0[None]] + chains, axis=0)
         return x_final, chain
     return x_final
-
-
-def run_sampling_parallel(
-    schedule: DiffusionSchedule,
-    eps_fn: EpsFn,
-    key: jax.Array,
-    shape: Tuple[int, int, int],
-    hard_conds: HardConds,
-    cfg: SamplerConfig,
-    guide_fn: Optional[GuideFn] = None,
-    n_sweeps: Optional[int] = None,
-    noises: Optional[jnp.ndarray] = None,
-):
-    """Picard-parallelized reverse chain (Shih et al. 2023, "Parallel
-    Sampling of Diffusion Models"; TPU-first latency lever).
-
-    With the per-step noises fixed, the sequential chain
-    x_{j+1} = F_j(x_j) + n_j is the fixed point of the Jacobi sweep
-    X'_{j+1} = F_j(X_j) applied to the whole chain at once — every sweep is
-    ONE batched eps/guide evaluation over (S x B) trajectories, which keeps
-    the chip saturated at small query batches. After S sweeps the result
-    equals the sequential sampler exactly (tested). Default n_sweeps = S
-    (exact).
-
-    Caveat (measured): with the reference's exponential schedule
-    (beta_end=1.0) the early steps are non-contractive — x0_hat at high t is
-    clamp-saturated — so truncated sweeps (n_sweeps < S) deviate
-    substantially; the Jacobi iteration only guarantees one exact position
-    per sweep. Early-stopped speedups apply to smoother schedules
-    (linear/cosine); for the exponential schedule use the sequential sampler
-    for quality-parity work.
-    """
-    T = schedule.n_steps
-    steps = list(reversed(range(-cfg.n_extra_steps, T)))
-    S = len(steps)
-    B, H, D = shape
-    t_start = cfg.t_start_guide if guide_fn is not None else -10**9
-    n_unguided = sum(1 for i in steps if i >= t_start)
-    n_guided = S - n_unguided
-    n_sweeps = S if n_sweeps is None else n_sweeps
-
-    key, init_key, noise_key = jax.random.split(key, 3)
-    if noises is None:
-        noises = _chain_noises(schedule, noise_key, steps, shape, cfg)
-    x0 = jax.random.normal(init_key, shape, schedule.betas.dtype)
-    x0 = apply_hard_conditioning(x0, hard_conds)
-
-    t_eff = jnp.asarray(np.maximum(np.array(steps), 0), jnp.int32)  # [S]
-    t_flat = jnp.repeat(t_eff, B)  # [S*B]
-
-    # hard conds broadcast over chain positions for the flattened batch
-    conds_flat = {
-        k: jnp.tile(jnp.broadcast_to(v, (B, D)), (S, 1))
-        for k, v in hard_conds.items()
-    }
-
-    def sweep(_, X):
-        # X: [S+1, B, H, D]; inputs are positions 0..S-1
-        flat = X[:-1].reshape(S * B, H, D)
-        mean, log_var = p_mean_variance(
-            schedule, eps_fn, flat, t_flat,
-            clip_denoised=cfg.clip_denoised, predict_epsilon=cfg.predict_epsilon,
-        )
-        x = mean
-        if guide_fn is not None and n_guided > 0:
-            # guided positions are the contiguous tail of the chain
-            xg = x.reshape(S, B, H, D)[n_unguided:].reshape(n_guided * B, H, D)
-            conds_g = {
-                k: v.reshape(S, B, D)[n_unguided:].reshape(n_guided * B, D)
-                for k, v in conds_flat.items()
-            }
-            model_var = (
-                jnp.exp(log_var.reshape(S, B, 1, 1)[n_unguided:]).reshape(
-                    n_guided * B, 1, 1
-                )
-                if cfg.scale_grad_by_std
-                else None
-            )
-            xg = guide_gradient_steps(
-                xg, conds_g, guide_fn,
-                n_guide_steps=cfg.n_guide_steps, model_var=model_var,
-            )
-            x = jnp.concatenate(
-                [x.reshape(S, B, H, D)[:n_unguided], xg.reshape(n_guided, B, H, D)],
-                axis=0,
-            ).reshape(S * B, H, D)
-        x = x.reshape(S, B, H, D) + noises
-        x = apply_hard_conditioning(
-            x.reshape(S * B, H, D), conds_flat
-        ).reshape(S, B, H, D)
-        return jnp.concatenate([X[:1], x], axis=0)
-
-    X = jnp.broadcast_to(x0, (S + 1,) + shape)
-    X = jax.lax.fori_loop(0, n_sweeps, sweep, X)
-    return X[-1]
 
 
 def run_ddim_sampling(

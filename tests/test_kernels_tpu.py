@@ -1,0 +1,42 @@
+"""Real-TPU Pallas regression: compile pallas_unet_apply through Mosaic on
+the chip and assert parity with the flax forward (VERDICT r1 item 9 — the
+CPU suite runs the kernels only in interpret mode, which hides lowering
+breaks).
+
+Run with: MPD_TPU_REAL=1 python -m pytest tests/test_kernels_tpu.py -q
+(conftest.py skips its CPU forcing under MPD_TPU_REAL; the tests self-skip
+on any non-TPU backend, so they are no-ops in the default CPU suite)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if jax.default_backend() != "tpu":  # pragma: no cover - CPU suite path
+    pytest.skip("requires a real TPU backend (run with MPD_TPU_REAL=1)",
+                allow_module_level=True)
+
+import jax.numpy as jnp
+
+from mpd_tpu.nets.temporal_unet import TemporalUnet
+
+
+def test_fused_unet_compiles_through_mosaic_and_matches_flax():
+    from mpd_tpu.kernels import pallas_unet_apply
+
+    B, H, D = 8, 64, 4
+    mults = (1, 2, 4, 8)
+    net = TemporalUnet(state_dim=D, n_support_points=H, unet_input_dim=32, dim_mults=mults)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, D))
+    t = jnp.asarray(np.arange(B) % 25, jnp.int32)
+    variables = net.init(jax.random.PRNGKey(1), x, t)
+
+    ref = jax.jit(lambda v, x_, t_: net.apply(v, x_, t_))(variables, x, t)
+    fused = jax.jit(
+        lambda v, x_, t_: pallas_unet_apply(v, x_, t_, dim_mults=mults, block_b=8)
+    )(variables, x, t)
+    # bf16 conv multiplies on the TPU MXU: compare at bf16-scale tolerance
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+    assert np.isfinite(np.asarray(fused)).all()
