@@ -117,6 +117,84 @@ def time_query(query, n_iters=10):
     return np.asarray(times)
 
 
+# TPU v5e peak: 197 TFLOP/s bf16 (the MXU rate; XLA TPU runs f32 conv/matmul
+# multiplies in bf16 with f32 accumulation, so this is the relevant peak)
+V5E_PEAK_FLOPS = 197e12
+
+
+def query_flops(jitted, *args):
+    """XLA's own FLOP count for the compiled program (cost_analysis)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception as e:  # backend without cost analysis
+        log(f"cost_analysis unavailable: {e}")
+        return float("nan")
+
+
+def mfu(flops, seconds):
+    if not np.isfinite(flops):
+        return None
+    return flops / seconds / V5E_PEAK_FLOPS
+
+
+def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
+                      n_samples=100):
+    """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
+    w_coll=5e-2, 10 guide steps (the RESULTS.md operating point that gives
+    100/100 success). Returns (query_fn, query_args) with params as traced
+    args so the compile is shared with scripts/evaluate.py runs."""
+    import yaml
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpd_tpu.data import TrajectoryDataset
+    from mpd_tpu.diffusion import make_schedule
+    from mpd_tpu.nets.temporal_unet import UNET_DIM_MULTS, TemporalUnet
+    from mpd_tpu.planner import MotionPlanner, PlannerConfig
+    from mpd_tpu.train import TrainConfig, Trainer, load_checkpoint
+
+    with open(f"{model_dir}/args.yaml") as f:
+        margs = yaml.safe_load(f)
+    ds = TrajectoryDataset(
+        base_dir=margs["data_dir"], include_velocity=margs["include_velocity"],
+        use_extra_objects=True, obstacle_cutoff_margin=0.05,
+    )
+    tn = margs.get("traj_normalizer")
+    if tn and tn.get("mins") is not None:
+        ds.override_traj_normalizer_stats(tn["mins"], tn["maxs"])
+    net = TemporalUnet(
+        state_dim=margs["state_dim"], n_support_points=margs["n_support_points"],
+        unet_input_dim=margs["unet_input_dim"],
+        dim_mults=UNET_DIM_MULTS[margs["unet_dim_mults_option"]],
+    )
+    trainer = Trainer(net, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
+                      ds.trajs_normalized, TrainConfig(), seed=0)
+    state, _ = load_checkpoint(model_dir, trainer.state)
+    planner = MotionPlanner(
+        ds, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
+        lambda p, x, t: net.apply(p, x, t), params=state.ema_params,
+        config=PlannerConfig(n_samples=n_samples,
+                             weight_grad_cost_collision=5e-2, n_guide_steps=10),
+    )
+    # fixed long-range query (same rejection rule as evaluate.py)
+    key = jax.random.PRNGKey(30)
+    for _ in range(100):
+        key, sub = jax.random.split(key)
+        qs = ds.task.random_coll_free_q(sub, n_samples=2)
+        if float(jnp.linalg.norm(qs[0] - qs[1])) > ds.threshold_start_goal_pos:
+            break
+    hard_conds = planner.hard_conds_for(qs[0], qs[1])
+
+    def query(key):
+        return planner._query(key, hard_conds, planner.params, planner._guide_weights)
+
+    return query, (planner, hard_conds)
+
+
 def main():
     from mpd_tpu.core import setup_runtime
 
@@ -127,6 +205,8 @@ def main():
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
+    import jax.random as jrandom
+
     # batch-size scan on v5e-1 (scripts/profile_sampler.py + ad-hoc probe):
     # 2048 -> 22.6k, 4096 -> 25.0k, 8192 -> 21.0k trajs/s; 4096 is the knee
     B_big = 4096
@@ -134,7 +214,10 @@ def main():
     q_big = build_query(B_big)
     t_big = time_query(q_big, n_iters=10)
     thpt = B_big / float(np.median(t_big))
-    log(f"large-batch: median {np.median(t_big)*1e3:.1f} ms -> {thpt:.0f} trajs/s")
+    fl_big = query_flops(q_big, jrandom.PRNGKey(0))
+    mfu_big = mfu(fl_big, float(np.median(t_big)))
+    log(f"large-batch: median {np.median(t_big)*1e3:.1f} ms -> {thpt:.0f} trajs/s"
+        f" (XLA {fl_big/1e9:.1f} GFLOP/query, MFU {100*(mfu_big or 0):.1f}%)")
 
     log("compiling reference-shaped query (B=50)...")
     q_ref = build_query(50)
@@ -142,8 +225,27 @@ def main():
     p50 = float(np.median(t_ref))
     log(f"50-sample query p50: {p50*1e3:.1f} ms")
 
+    log("compiling Panda 100-sample query (trained checkpoint)...")
+    panda = {}
+    try:
+        q_panda, _ = build_panda_query()
+        t_panda = time_query(q_panda, n_iters=10)
+        p50_panda = float(np.median(t_panda))
+        fl_panda = query_flops(q_panda, jrandom.PRNGKey(0))
+        panda = {
+            "panda_p50_s_100samples": round(p50_panda, 4),
+            "panda_trajs_per_sec": round(100.0 / p50_panda, 1),
+        }
+        m = mfu(fl_panda, p50_panda)
+        if m is not None:
+            panda["panda_mfu"] = round(m, 4)
+        log(f"Panda 100-sample p50: {p50_panda*1e3:.1f} ms"
+            f" (MFU {100*(m or 0):.2f}%)")
+    except Exception as e:
+        log(f"Panda lane skipped: {e}")
+
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
-    print(json.dumps({
+    out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
         "value": round(thpt, 1),
         "unit": "trajs/s",
@@ -151,7 +253,12 @@ def main():
         "latency_p50_s_50samples": round(p50, 4),
         "batch": B_big,
         "backend": jax.default_backend(),
-    }))
+        **panda,
+    }
+    if mfu_big is not None:
+        out["mfu_large_batch"] = round(mfu_big, 4)
+        out["xla_gflop_per_traj"] = round(fl_big / B_big / 1e9, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

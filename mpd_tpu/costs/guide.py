@@ -70,8 +70,13 @@ class GuideTrajectoriesWithVelocity:
             return jnp.clip(grad, -self.max_grad_value, self.max_grad_value)
         raise NotImplementedError(self.clip_grad_rule)
 
-    def __call__(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x_normalized: jnp.ndarray, weights=None) -> jnp.ndarray:
+        """`weights` optionally overrides the per-term weights with traced
+        scalars (e.g. a [n_terms] array argument of the jitted query) so
+        weight sweeps reuse one compiled program instead of baking the
+        floats into the HLO as constants."""
         x_phys = self.unnormalize_fn(x_normalized)
+        ws = self.cost.weights if weights is None else weights
 
         def term_cost(x, idx):
             x_interp = (
@@ -80,7 +85,7 @@ class GuideTrajectoriesWithVelocity:
             return jnp.sum(self.cost.cost_list[idx](x, x_interp))
 
         grad_total = jnp.zeros_like(x_phys)
-        for idx, weight in enumerate(self.cost.weights):
+        for idx, weight in enumerate(ws):
             term = self.cost.cost_list[idx]
             if hasattr(term, "gradient"):
                 # analytic gradient (e.g. the quadratic GP prior): skips a
@@ -115,8 +120,9 @@ class GuideTrajectoriesPositionOnly(GuideTrajectoriesWithVelocity):
         super().__init__(*args, **kwargs)
         self.dt = float(dt)
 
-    def __call__(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x_normalized: jnp.ndarray, weights=None) -> jnp.ndarray:
         q_phys = self.unnormalize_fn(x_normalized)  # [B, H, q]
+        ws = self.cost.weights if weights is None else weights
         vel = jnp.gradient(q_phys, axis=-2) / self.dt
         vel = vel.at[..., 0, :].set(0.0)
         vel = vel.at[..., -1, :].set(0.0)
@@ -133,7 +139,7 @@ class GuideTrajectoriesPositionOnly(GuideTrajectoriesWithVelocity):
             return jnp.sum(self.cost.cost_list[idx](x_full, x_interp))
 
         grad_total = jnp.zeros_like(q_phys)
-        for idx, weight in enumerate(self.cost.weights):
+        for idx, weight in enumerate(ws):
             grad_cost = jax.grad(term_cost)(q_phys, idx)[..., :q_dim]
             grad_cost = self._clip_gradient(grad_cost)
             grad_cost = grad_cost.at[..., 0, :].set(0.0)

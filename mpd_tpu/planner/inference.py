@@ -135,6 +135,10 @@ class MotionPlanner:
         cost_list.append(CostGPTrajectory(robot, H, dt, sigma_gp=1.0))
         weights.append(config.weight_grad_cost_smoothness)
         cost_composite = CostComposite(robot, H, cost_list, weights_cost_l=weights)
+        # guide weights ride as a traced argument of the compiled query, so
+        # one compile serves every w_coll/w_smooth setting (weight sweeps and
+        # per-task tuning, ref README.md:84-88, recompile nothing)
+        self._guide_weights = jnp.asarray(weights, jnp.float32)
 
         # ---- guide (ref inference.py:229-236; effective interp count is 128,
         # see guide.py docstring on the reference's kwarg-mismatch quirk).
@@ -167,7 +171,6 @@ class MotionPlanner:
         self._t_start_guide = t_start_guide
 
         use_guide_in_chain = config.planner_alg == "mpd"
-        guide_fn = self.guide if use_guide_in_chain else None
 
         B, D = config.n_samples, dataset.state_dim
         n_post_steps = (
@@ -177,9 +180,14 @@ class MotionPlanner:
             else 0
         )
 
-        def _query(key: jax.Array, hard_conds: HardConds, params):
+        def _query(key: jax.Array, hard_conds: HardConds, params, guide_weights):
             step_eps_fn = (
                 eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
+            )
+            guide_fn = (
+                (lambda x: self.guide(x, weights=guide_weights))
+                if use_guide_in_chain
+                else None
             )
             if config.use_ddim:
                 x_final, chain = run_ddim_sampling(
@@ -195,7 +203,7 @@ class MotionPlanner:
                 # pure guide refinement after the prior chain
                 # (ref inference.py:263-282)
                 def body(x, _):
-                    x = x + self.guide(x)
+                    x = x + self.guide(x, weights=guide_weights)
                     from mpd_tpu.diffusion.gaussian_diffusion import (
                         apply_hard_conditioning,
                     )
@@ -266,14 +274,24 @@ class MotionPlanner:
         start_pos: jnp.ndarray,
         goal_pos: jnp.ndarray,
         return_chain: bool = False,
+        guide_weights=None,
     ) -> PlanningResult:
-        """One planning query (host wrapper: metrics + best-plan selection)."""
+        """One planning query (host wrapper: metrics + best-plan selection).
+
+        `guide_weights` optionally overrides the per-term guide weights
+        ([collision..., smoothness], same order as construction) without
+        recompiling — the compiled query takes them as traced scalars."""
         import time
 
         hard_conds = self.hard_conds_for(start_pos, goal_pos)
+        gw = (
+            self._guide_weights
+            if guide_weights is None
+            else jnp.asarray(guide_weights, jnp.float32)
+        )
         t0 = time.perf_counter()
         trajs_final, trajs_chain, free_mask, dm = self._query(
-            key, hard_conds, self.params
+            key, hard_conds, self.params, gw
         )
         jax.block_until_ready(trajs_final)
         t_total = time.perf_counter() - t0

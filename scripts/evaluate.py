@@ -35,6 +35,8 @@ def main():
                    help="min start-goal joint distance for eval queries "
                         "(default: the dataset's own threshold; the reference "
                         "uses 1.83 for the Panda)")
+    p.add_argument("--use-ddim", action="store_true",
+                   help="DDIM subsequence sampling instead of the DDPM chain")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
@@ -92,6 +94,7 @@ def main():
             weight_grad_cost_collision=args.weight_grad_cost_collision,
             n_guide_steps=args.n_guide_steps,
             start_guide_steps_fraction=args.start_guide_steps_fraction,
+            use_ddim=args.use_ddim,
         ),
     )
 
