@@ -58,6 +58,11 @@ class PlannerConfig:
     # DDIM subsequence sampling instead of the full DDPM chain
     # (ref diffusion_model_base.py:184-259; selectable at inference.py:256)
     use_ddim: bool = False
+    # extra noiseless denoise+guide steps after the DDIM chain (0 = the
+    # reference's ddim_sample, which guides only ~2 of 6 subsequence steps
+    # — see run_ddim_sampling). 5 recovers DDPM-grade collision avoidance
+    # at ~1/4 the eps-model forwards.
+    ddim_refine_steps: int = 0
 
 
 @dataclasses.dataclass
@@ -193,6 +198,7 @@ class MotionPlanner:
                 x_final, chain = run_ddim_sampling(
                     schedule, step_eps_fn, key, (B, H, D), hard_conds,
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
+                    extra_refine_steps=config.ddim_refine_steps,
                 )
             else:
                 x_final, chain = run_sampling(

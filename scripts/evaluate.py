@@ -37,6 +37,9 @@ def main():
                         "uses 1.83 for the Panda)")
     p.add_argument("--use-ddim", action="store_true",
                    help="DDIM subsequence sampling instead of the DDPM chain")
+    p.add_argument("--ddim-refine-steps", type=int, default=0,
+                   help="extra noiseless denoise+guide steps after the DDIM "
+                        "chain (0 = reference-faithful ddim_sample)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
@@ -95,6 +98,7 @@ def main():
             n_guide_steps=args.n_guide_steps,
             start_guide_steps_fraction=args.start_guide_steps_fraction,
             use_ddim=args.use_ddim,
+            ddim_refine_steps=args.ddim_refine_steps,
         ),
     )
 

@@ -41,6 +41,9 @@ def main():
     p.add_argument("--results-dir", default=None)
     p.add_argument("--n-queries", type=int, default=1)
     p.add_argument("--use-ddim", action="store_true")
+    p.add_argument("--ddim-refine-steps", type=int, default=0,
+                   help="extra noiseless denoise+guide steps after the DDIM "
+                        "chain (0 = reference-faithful ddim_sample)")
     p.add_argument("--n-devices", type=int, default=0,
                    help=">1: shard the candidate batch over the first N "
                         "devices (params replicated; best-plan argmin is "
@@ -115,6 +118,7 @@ def main():
             weight_grad_cost_smoothness=args.weight_grad_cost_smoothness,
             trajectory_duration=args.trajectory_duration,
             use_ddim=args.use_ddim,
+            ddim_refine_steps=args.ddim_refine_steps,
         ),
     )
 

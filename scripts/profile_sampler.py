@@ -34,6 +34,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the full guided query")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -58,6 +60,11 @@ def main():
     q_full = build_query(B)
     t_full = timeit(lambda: q_full(jax.random.PRNGKey(0)))
     print(f"full guided query:      {t_full*1e3:8.2f} ms  ({B/t_full:,.0f} trajs/s)")
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            jax.block_until_ready(q_full(jax.random.PRNGKey(2)))
+            jax.block_until_ready(q_full(jax.random.PRNGKey(3)))
+        print(f"trace written to {args.trace_dir}", file=sys.stderr)
 
     # prior-only
     env = get_env("EnvDense2D", use_extra_objects=True)

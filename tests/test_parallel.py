@@ -144,3 +144,40 @@ def test_ddim_sampler_runs_and_pins(setup):
     np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_ddim_extra_refine_steps_apply_guide(setup):
+    """extra_refine_steps appends noiseless denoise+guide steps: the chain
+    grows by that many entries, endpoints stay pinned, and a guide pulling
+    toward a target brings the refined result strictly closer to it than
+    the reference-faithful (0-step) DDIM output."""
+    from mpd_tpu.diffusion import run_ddim_sampling
+
+    net, params, sched, H, D = setup
+    B = 4
+    eps_fn = lambda x, t: net.apply(params, x, t)
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.3}
+    target = 0.2
+    guide_fn = lambda x: -0.2 * (x - target)  # pull toward `target`
+    cfg = SamplerConfig(n_guide_steps=3, t_start_guide=7)
+
+    def run(k, refine):
+        return run_ddim_sampling(
+            sched, eps_fn, k, (B, H, D), conds, cfg, guide_fn=guide_fn,
+            return_chain=True, extra_refine_steps=refine,
+        )
+
+    key = jax.random.PRNGKey(0)
+    x0, chain0 = jax.jit(lambda k: run(k, 0))(key)
+    x5, chain5 = jax.jit(lambda k: run(k, 5))(key)
+    assert chain5.shape[0] == chain0.shape[0] + 5
+    np.testing.assert_allclose(np.asarray(x5[:, 0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x5[:, -1]), 0.3, atol=1e-6)
+    # same key => identical chains up to the refinement suffix
+    np.testing.assert_allclose(
+        np.asarray(chain5[: chain0.shape[0]]), np.asarray(chain0), atol=1e-6
+    )
+    interior = slice(1, H - 1)
+    d0 = float(jnp.abs(x0[:, interior] - target).mean())
+    d5 = float(jnp.abs(x5[:, interior] - target).mean())
+    assert d5 < d0
