@@ -140,16 +140,10 @@ def mfu(flops, seconds):
     return flops / seconds / V5E_PEAK_FLOPS
 
 
-def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
-                      n_samples=100):
-    """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
-    w_coll=5e-2, 10 guide steps (the RESULTS.md operating point that gives
-    100/100 success). Returns (query_fn, query_args) with params as traced
-    args so the compile is shared with scripts/evaluate.py runs."""
+def _load_planner(model_dir, n_samples, w_coll, n_guide_steps):
+    """Checkpoint -> MotionPlanner (params as traced args, so the compile
+    is shared with scripts/evaluate.py runs)."""
     import yaml
-
-    import jax
-    import jax.numpy as jnp
 
     from mpd_tpu.data import TrajectoryDataset
     from mpd_tpu.diffusion import make_schedule
@@ -178,21 +172,60 @@ def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500
         ds, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
         lambda p, x, t: net.apply(p, x, t), params=state.ema_params,
         config=PlannerConfig(n_samples=n_samples,
-                             weight_grad_cost_collision=5e-2, n_guide_steps=10),
+                             weight_grad_cost_collision=w_coll,
+                             n_guide_steps=n_guide_steps),
     )
-    # fixed long-range query (same rejection rule as evaluate.py)
-    key = jax.random.PRNGKey(30)
-    for _ in range(100):
+    return planner, ds
+
+
+def _draw_query_pairs(ds, n, seed=30):
+    """n random collision-free (start, goal) pairs with the evaluate.py
+    rejection rule (start-goal distance above the dataset threshold)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    out = []
+    while len(out) < n:
         key, sub = jax.random.split(key)
         qs = ds.task.random_coll_free_q(sub, n_samples=2)
         if float(jnp.linalg.norm(qs[0] - qs[1])) > ds.threshold_start_goal_pos:
-            break
+            out.append(qs)
+    return out
+
+
+def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
+                      n_samples=100):
+    """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
+    w_coll=5e-2, 10 guide steps (the RESULTS.md operating point that gives
+    100/100 success)."""
+    planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2, n_guide_steps=10)
+    qs = _draw_query_pairs(ds, 1)[0]
     hard_conds = planner.hard_conds_for(qs[0], qs[1])
 
     def query(key):
         return planner._query(key, hard_conds, planner.params, planner._guide_weights)
 
     return query, (planner, hard_conds)
+
+
+def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
+                        Q=16, n_samples=50):
+    """Serving lane: Q planning queries per device call via plan_batch —
+    the one-dispatch multi-query path that amortizes the per-call
+    host<->device latency (the floor on single-query p50). Returns a
+    closure whose wall-clock / Q is the amortized per-query latency."""
+    import jax.numpy as jnp
+
+    planner, ds = _load_planner(model_dir, n_samples, w_coll=3e-2, n_guide_steps=5)
+    pairs = _draw_query_pairs(ds, Q)
+    starts = jnp.stack([p[0] for p in pairs])
+    goals = jnp.stack([p[1] for p in pairs])
+
+    def query(key):
+        return planner.plan_batch(key, starts, goals)
+
+    return query, Q
 
 
 def main():
@@ -244,6 +277,26 @@ def main():
     except Exception as e:
         log(f"Panda lane skipped: {e}")
 
+    log("compiling serving lane (plan_batch, Q=16 x 50 samples)...")
+    serving = {}
+    try:
+        q_serve, Q = build_serving_batch()
+        q_serve(jrandom.PRNGKey(0))  # warmup/compile (blocks internally)
+        ts = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            q_serve(jrandom.PRNGKey(1 + i))
+            ts.append(time.perf_counter() - t0)
+        t_q = float(np.median(ts)) / Q
+        serving = {
+            "serving_p50_s_per_query": round(t_q, 5),
+            "serving_queries_per_sec": round(1.0 / t_q, 1),
+            "serving_batch_queries": Q,
+        }
+        log(f"serving: {t_q*1e3:.1f} ms/query amortized ({1.0/t_q:.0f} queries/s)")
+    except Exception as e:
+        log(f"serving lane skipped: {e}")
+
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
     out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
@@ -254,6 +307,7 @@ def main():
         "batch": B_big,
         "backend": jax.default_backend(),
         **panda,
+        **serving,
     }
     if mfu_big is not None:
         out["mfu_large_batch"] = round(mfu_big, 4)

@@ -256,6 +256,164 @@ class MotionPlanner:
             return trajs_final, trajs_chain, free_mask, metrics
 
         self._query = jax.jit(_query)
+        self._n_post_steps = n_post_steps
+        # compiled multi-query programs, keyed by Q (plan_batch)
+        self._batch_queries = {}
+
+    def _make_batch_query(self, Q: int):
+        """Build the Q-query batched program (Q static, cached per Q).
+
+        TPU-native serving path with no reference counterpart: the
+        reference plans one query per GPU launch sequence
+        (inference.py:238-257); here Q queries x n_samples candidates run
+        as ONE fused program, so the per-dispatch host<->device latency
+        (~15-25 ms through the tunneled backend, often larger than the
+        device compute itself at B=50) is paid once per Q queries instead
+        of per query. Candidate layout is query-major [Q*B, H, D]; scoring,
+        per-query masked argmin and collision metrics all stay on device.
+        """
+        config = self.config
+        dataset = self.dataset
+        task, robot = dataset.task, dataset.robot
+        H, D = dataset.n_support_points, dataset.state_dim
+        B = config.n_samples
+        schedule, eps_fn = self.schedule, self.eps_fn
+        guide, sampler_cfg = self.guide, self.sampler_cfg
+        use_guide_in_chain = config.planner_alg == "mpd"
+        n_post_steps = self._n_post_steps
+
+        def _query_batch(key, hard_conds, params, guide_weights):
+            step_eps_fn = (
+                eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
+            )
+            guide_fn = (
+                (lambda x: guide(x, weights=guide_weights))
+                if use_guide_in_chain
+                else None
+            )
+            shape = (Q * B, H, D)
+            if config.use_ddim:
+                x_final = run_ddim_sampling(
+                    schedule, step_eps_fn, key, shape, hard_conds,
+                    sampler_cfg, guide_fn=guide_fn,
+                    extra_refine_steps=config.ddim_refine_steps,
+                )
+            else:
+                x_final = run_sampling(
+                    schedule, step_eps_fn, key, shape, hard_conds,
+                    sampler_cfg, guide_fn=guide_fn,
+                )
+            if n_post_steps:
+                from mpd_tpu.diffusion.gaussian_diffusion import (
+                    apply_hard_conditioning,
+                )
+
+                def body(x, _):
+                    x = x + guide(x, weights=guide_weights)
+                    return apply_hard_conditioning(x, hard_conds), None
+
+                x_final, _ = jax.lax.scan(body, x_final, None, length=n_post_steps)
+
+            tq = dataset.unnormalize_trajectories(x_final).reshape(Q, B, H, D)
+            coll_mask = task.trajs_collision_mask(tq)  # [Q, B, P]
+            free_mask = ~jnp.any(coll_mask, axis=-1)  # [Q, B]
+            cost_sm = compute_smoothness(tq, robot)  # [Q, B]
+            cost_pl = compute_path_length(tq, robot)
+            costs = jnp.where(free_mask, cost_sm + cost_pl, jnp.inf)
+            idx_best = jnp.argmin(costs, axis=1)  # [Q]
+            best_cost = jnp.take_along_axis(costs, idx_best[:, None], 1)[:, 0]
+            coll_intensity = coll_mask.astype(jnp.float32).mean(axis=(1, 2))
+
+            w = free_mask.astype(tq.dtype)
+            nfree = jnp.maximum(w.sum(1), 1.0)  # [Q]
+            q_pos = robot.get_position(tq)  # [Q, B, H, q]
+            q_mean = (w[:, :, None, None] * q_pos).sum(1) / nfree[:, None, None]
+            var_wp = (
+                (w[:, :, None] * ((q_pos - q_mean[:, None]) ** 2).sum(-1)).sum(1)
+                / nfree[:, None]
+            ).sum(-1)
+            return dict(
+                trajs_final=tq,
+                free_mask=free_mask,
+                cost_smoothness=cost_sm,
+                cost_path_length=cost_pl,
+                best_cost=best_cost,
+                idx_best=idx_best,
+                collision_intensity=coll_intensity,
+                variance_waypoints=var_wp,
+            )
+
+        return jax.jit(_query_batch)
+
+    def plan_batch(
+        self,
+        key: jax.Array,
+        starts: jnp.ndarray,  # [Q, q_dim]
+        goals: jnp.ndarray,  # [Q, q_dim]
+        guide_weights=None,
+    ):
+        """Plan Q queries in ONE device call; returns a list of
+        PlanningResult (chains omitted). Amortizes the per-dispatch
+        host<->device latency across the whole batch — the serving-path
+        counterpart of `plan` (see _make_batch_query)."""
+        import time
+
+        starts = jnp.atleast_2d(starts)
+        goals = jnp.atleast_2d(goals)
+        Q = starts.shape[0]
+        B = self.config.n_samples
+
+        states = jnp.stack([starts, goals], axis=1)  # [Q, 2, q]
+        states = jnp.concatenate([states, jnp.zeros_like(states)], axis=-1)
+        conds = self.dataset.get_hard_conditions(states, normalize=True)
+        conds = {
+            k: jnp.broadcast_to(v[:, None, :], (Q, B) + v.shape[-1:]).reshape(
+                Q * B, -1
+            )
+            for k, v in conds.items()
+        }
+        if self.mesh is not None:
+            conds = shard_batch(self.mesh, conds)
+
+        if Q not in self._batch_queries:
+            self._batch_queries[Q] = self._make_batch_query(Q)
+        gw = (
+            self._guide_weights
+            if guide_weights is None
+            else jnp.asarray(guide_weights, jnp.float32)
+        )
+        t0 = time.perf_counter()
+        dm = self._batch_queries[Q](key, conds, self.params, gw)
+        jax.block_until_ready(dm["trajs_final"])
+        t_total = time.perf_counter() - t0
+
+        trajs = np.asarray(dm["trajs_final"])
+        free = np.asarray(dm["free_mask"])
+        cost_sm = np.asarray(dm["cost_smoothness"])
+        cost_pl = np.asarray(dm["cost_path_length"])
+        results = []
+        for qi in range(Q):
+            success = int(free[qi].any())
+            free_idxs = np.nonzero(free[qi])[0]
+            results.append(
+                PlanningResult(
+                    trajs_final=trajs[qi],
+                    trajs_chain=None,
+                    free_mask=free[qi],
+                    success=success,
+                    fraction_free=float(free[qi].mean()),
+                    collision_intensity=float(dm["collision_intensity"][qi]),
+                    idx_best=int(dm["idx_best"][qi]) if success else None,
+                    cost_best=float(dm["best_cost"][qi]) if success else None,
+                    cost_smoothness=cost_sm[qi][free_idxs] if success else None,
+                    cost_path_length=cost_pl[qi][free_idxs] if success else None,
+                    variance_waypoints=(
+                        float(dm["variance_waypoints"][qi]) if success else None
+                    ),
+                    t_total=t_total / Q,
+                )
+            )
+        return results
 
     def hard_conds_for(self, start_pos: jnp.ndarray, goal_pos: jnp.ndarray) -> HardConds:
         states = jnp.stack([start_pos, goal_pos])

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
+    p.add_argument("--batch-queries", type=int, default=0,
+                   help=">0: plan this many queries per device call "
+                        "(MotionPlanner.plan_batch serving path); per-query "
+                        "latency is the amortized batch time")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
@@ -103,7 +107,9 @@ def main():
     )
 
     key = jax.random.PRNGKey(args.seed)
-    results = []
+    # draw the query pairs (same key schedule in both modes, so the query
+    # distribution is identical whether planned one-per-call or batched)
+    pairs, plan_keys = [], []
     for q in range(args.n_queries):
         key, k1, k2 = jax.random.split(key, 3)
         for _ in range(100):
@@ -115,7 +121,23 @@ def main():
                 else ds.threshold_start_goal_pos
             ):
                 break
-        res = planner.plan(k2, qs[0], qs[1])
+        pairs.append(qs)
+        plan_keys.append(k2)
+
+    all_res = []
+    if args.batch_queries > 0:
+        Q = args.batch_queries
+        for lo in range(0, args.n_queries, Q):
+            chunk = pairs[lo : lo + Q]
+            starts = jnp.stack([c[0] for c in chunk])
+            goals = jnp.stack([c[1] for c in chunk])
+            all_res.extend(planner.plan_batch(plan_keys[lo], starts, goals))
+    else:
+        for q in range(args.n_queries):
+            all_res.append(planner.plan(plan_keys[q], pairs[q][0], pairs[q][1]))
+
+    results = []
+    for q, res in enumerate(all_res):
         row = {
             "success": res.success,
             "fraction_free": res.fraction_free,
@@ -130,8 +152,10 @@ def main():
         print(f"[q {q}] success {res.success} free {res.fraction_free:.2f} "
               f"coll_int {res.collision_intensity:.4f} t {res.t_total*1000:.0f}ms", flush=True)
 
-    # drop the compile query from latency stats but keep its quality metrics
-    lat = [r["t_total"] for r in results[1:]] or [results[0]["t_total"]]
+    # drop the compile query (the whole first chunk in batch mode) from
+    # latency stats but keep its quality metrics
+    n_warm = max(1, args.batch_queries)
+    lat = [r["t_total"] for r in results[n_warm:]] or [results[0]["t_total"]]
     agg = {
         "success_rate": float(np.mean([r["success"] for r in results])),
         "fraction_free": float(np.mean([r["fraction_free"] for r in results])),

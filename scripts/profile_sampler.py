@@ -60,6 +60,19 @@ def main():
     q_full = build_query(B)
     t_full = timeit(lambda: q_full(jax.random.PRNGKey(0)))
     print(f"full guided query:      {t_full*1e3:8.2f} ms  ({B/t_full:,.0f} trajs/s)")
+
+    # pipelined: submit K queries async, block once. Per-call amortized time
+    # approximates pure device compute (host dispatch overlaps execution);
+    # single-call minus amortized is the per-dispatch overhead — on the
+    # tunneled axon backend this is ~15-25 ms and dominates small-B p50.
+    K = 20
+    keys = [jax.random.PRNGKey(100 + i) for i in range(K)]
+    t0 = time.perf_counter()
+    outs = [q_full(k) for k in keys]
+    jax.block_until_ready(outs)
+    t_pipe = (time.perf_counter() - t0) / K
+    print(f"pipelined (K={K}):       {t_pipe*1e3:8.2f} ms/query  "
+          f"(dispatch overhead ~{(t_full-t_pipe)*1e3:.1f} ms)")
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
             jax.block_until_ready(q_full(jax.random.PRNGKey(2)))

@@ -100,3 +100,57 @@ def test_guide_weight_sweep_shares_one_compile():
         PlannerConfig(n_samples=4, planner_alg="diffusion_prior"), params=params,
     ).plan(jax.random.PRNGKey(1), start, goal)
     np.testing.assert_allclose(r3.trajs_final, r_prior.trajs_final, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_batch_matches_single_query_and_pins():
+    """plan_batch (the one-dispatch multi-query serving path) must agree
+    exactly with plan() at Q=1 (identical program modulo the chain output)
+    and produce pinned, finite per-query results at Q=3."""
+    ds = TrajectoryDataset(
+        base_dir="unused",
+        trajectories=_toy_trajs(),
+        env_id="EnvSimple2D",
+        robot_id="RobotPointMass",
+        include_velocity=True,
+    )
+    net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 4)), jnp.zeros((2,), jnp.int32))
+    planner = MotionPlanner(
+        ds, make_schedule("exponential", 25),
+        lambda p, x, t: net.apply(p, x, t), params=params,
+        config=PlannerConfig(n_samples=4),
+    )
+    trs = np.asarray(ds.trajs)
+    key = jax.random.PRNGKey(7)
+
+    # Q=1 exact equivalence with plan()
+    res1 = planner.plan(key, jnp.asarray(trs[0][0, :2]), jnp.asarray(trs[0][-1, :2]))
+    [resb] = planner.plan_batch(
+        key, jnp.asarray(trs[0][None, 0, :2]), jnp.asarray(trs[0][None, -1, :2])
+    )
+    np.testing.assert_allclose(resb.trajs_final, res1.trajs_final, atol=1e-6)
+    assert resb.success == res1.success
+    np.testing.assert_array_equal(resb.free_mask, res1.free_mask)
+    assert resb.fraction_free == pytest.approx(res1.fraction_free)
+    assert resb.collision_intensity == pytest.approx(res1.collision_intensity, abs=1e-6)
+    if res1.success:
+        assert resb.idx_best == res1.idx_best
+        assert resb.cost_best == pytest.approx(res1.cost_best, rel=1e-5)
+        assert resb.variance_waypoints == pytest.approx(res1.variance_waypoints, rel=1e-5)
+
+    # Q=3: shapes, finiteness, endpoint pinning per query
+    starts = jnp.asarray(trs[:3, 0, :2])
+    goals = jnp.asarray(trs[:3, -1, :2])
+    results = planner.plan_batch(jax.random.PRNGKey(8), starts, goals)
+    assert len(results) == 3
+    for qi, r in enumerate(results):
+        assert r.trajs_final.shape == (4, 16, 4)
+        assert np.isfinite(r.trajs_final).all()
+        np.testing.assert_allclose(
+            r.trajs_final[:, 0, :2],
+            np.broadcast_to(np.asarray(starts[qi]), (4, 2)), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            r.trajs_final[:, -1, :2],
+            np.broadcast_to(np.asarray(goals[qi]), (4, 2)), atol=1e-5,
+        )
