@@ -261,10 +261,11 @@ def main():
     log("compiling Panda 100-sample query (trained checkpoint)...")
     panda = {}
     try:
-        q_panda, _ = build_panda_query()
+        q_panda, (pl, hc) = build_panda_query()
         t_panda = time_query(q_panda, n_iters=10)
         p50_panda = float(np.median(t_panda))
-        fl_panda = query_flops(q_panda, jrandom.PRNGKey(0))
+        fl_panda = query_flops(pl._query, jrandom.PRNGKey(0), hc, pl.params,
+                               pl._guide_weights)
         panda = {
             "panda_p50_s_100samples": round(p50_panda, 4),
             "panda_trajs_per_sec": round(100.0 / p50_panda, 1),

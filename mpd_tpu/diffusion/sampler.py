@@ -17,7 +17,7 @@ Timestep convention (matches the reference exactly):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -228,6 +228,8 @@ def run_ddim_sampling(
     eta: float = 0.0,
     return_chain: bool = False,
     extra_refine_steps: int = 0,
+    times: Optional[Sequence[int]] = None,
+    refine_noise_std: float = 0.0,
 ):
     """DDIM sampling (ref diffusion_model_base.py:184-259).
 
@@ -247,9 +249,12 @@ def run_ddim_sampling(
     close that gap while keeping the ~5x shorter eps-model chain.
     """
     T = schedule.n_steps
-    n_sub = sampling_timesteps if sampling_timesteps is not None else max(T // 5, 1)
-    times = np.linspace(0, T - 1, n_sub + 1).astype(np.int64).tolist()
-    times = [-1] + times
+    if times is None:
+        n_sub = sampling_timesteps if sampling_timesteps is not None else max(T // 5, 1)
+        times = np.linspace(0, T - 1, n_sub + 1).astype(np.int64).tolist()
+    else:
+        times = sorted({int(t) for t in times} | {0, T - 1})
+    times = [-1] + list(times)
     times = list(reversed(times))
     time_pairs = list(zip(times[:-1], times[1:]))
 
@@ -267,6 +272,19 @@ def run_ddim_sampling(
         x_start = predict_start_from_noise(
             schedule, x, t, model_out, cfg.predict_epsilon
         )
+        if cfg.clip_denoised:
+            # Deviation from the reference's ddim_sample, which never clamps
+            # x0_hat (diffusion_model_base.py:184-259). On the production
+            # exponential schedule alphas_cumprod[T-1] ~ 5e-10, so the
+            # unclamped 1/sqrt(acp) in predict_start_from_noise blows the
+            # first DDIM step up to |x| ~ 1e2 and the whole chain rides a
+            # divergent state (guided == unguided == garbage; measured
+            # fraction_free 0.04 vs DDPM 0.81 on EnvDense2D). The DDPM path
+            # clamps x0_hat inside p_mean_variance for exactly this reason;
+            # doing the same here is what makes DDIM usable on this
+            # schedule. SamplerConfig(clip_denoised=False) restores the
+            # literal reference behavior.
+            x_start = jnp.clip(x_start, -1.0, 1.0)
         pred_noise = predict_noise_from_start(
             schedule, x, t, model_out, cfg.predict_epsilon
         )
@@ -299,20 +317,38 @@ def run_ddim_sampling(
 
     if extra_refine_steps > 0:
         t0 = jnp.zeros((b,), dtype=jnp.int32)
+        # exploration noise for the refinement tail: the DDPM chain's
+        # collision-fixing power comes from its guided-but-still-noisy steps
+        # at t < t_start_guide (posterior_std(t) perturbations between guide
+        # applications); noiseless refinement gets stuck in whatever basin
+        # the DDIM chain lands in. posterior_std[1] is the smallest
+        # non-degenerate noise level of the schedule (std[0] is clipped to
+        # ~1e-10), matching the last noisy DDPM step's scale.
+        sigma0 = refine_noise_std * schedule.posterior_std[1]
 
-        def refine(x, _):
+        def refine(carry, _):
+            x, k = carry
             model_out = eps_fn(x, t0)
             x_start = predict_start_from_noise(
                 schedule, x, t0, model_out, cfg.predict_epsilon
             )
+            if cfg.clip_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
             if guide_fn is not None:
                 x_start = guide_gradient_steps(
                     x_start, hard_conds, guide_fn, n_guide_steps=cfg.n_guide_steps
                 )
+            if refine_noise_std > 0.0:  # static python float
+                k, sub = jax.random.split(k)
+                x_start = x_start + sigma0 * jax.random.normal(
+                    sub, x_start.shape, x_start.dtype
+                )
             x_start = apply_hard_conditioning(x_start, hard_conds)
-            return x_start, (x_start if return_chain else None)
+            return (x_start, k), (x_start if return_chain else None)
 
-        x, ys = jax.lax.scan(refine, x, None, length=extra_refine_steps)
+        (x, _), ys = jax.lax.scan(
+            refine, (x, key), None, length=extra_refine_steps
+        )
         if return_chain:
             chain.extend(list(ys))
 

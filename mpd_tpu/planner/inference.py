@@ -60,9 +60,20 @@ class PlannerConfig:
     use_ddim: bool = False
     # extra noiseless denoise+guide steps after the DDIM chain (0 = the
     # reference's ddim_sample, which guides only ~2 of 6 subsequence steps
-    # — see run_ddim_sampling). 5 recovers DDPM-grade collision avoidance
-    # at ~1/4 the eps-model forwards.
+    # — see run_ddim_sampling)
     ddim_refine_steps: int = 0
+    # explicit DDIM timestep subsequence (ascending ints; 0 and T-1 are
+    # forced in). None = the reference's uniform linspace stride. A
+    # low-t-biased stride (e.g. (0,1,2,4,9,24)) spends the same number of
+    # eps-model forwards where the guide window (t < t_start_guide) is live
+    ddim_times: Optional[Tuple[int, ...]] = None
+    # DDIM stochasticity (0 = reference-faithful deterministic steps);
+    # eta=1 recovers DDPM-style posterior noise between guided steps —
+    # the exploration that makes guided DDPM outperform guided DDIM
+    ddim_eta: float = 0.0
+    # exploration noise (in units of the schedule's smallest noisy-step
+    # std) injected between ddim_refine_steps — see run_ddim_sampling
+    ddim_refine_noise_std: float = 0.0
 
 
 @dataclasses.dataclass
@@ -199,6 +210,8 @@ class MotionPlanner:
                     schedule, step_eps_fn, key, (B, H, D), hard_conds,
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
                     extra_refine_steps=config.ddim_refine_steps,
+                    times=config.ddim_times, eta=config.ddim_eta,
+                    refine_noise_std=config.ddim_refine_noise_std,
                 )
             else:
                 x_final, chain = run_sampling(
@@ -297,6 +310,8 @@ class MotionPlanner:
                     schedule, step_eps_fn, key, shape, hard_conds,
                     sampler_cfg, guide_fn=guide_fn,
                     extra_refine_steps=config.ddim_refine_steps,
+                    times=config.ddim_times, eta=config.ddim_eta,
+                    refine_noise_std=config.ddim_refine_noise_std,
                 )
             else:
                 x_final = run_sampling(
@@ -384,13 +399,17 @@ class MotionPlanner:
         )
         t0 = time.perf_counter()
         dm = self._batch_queries[Q](key, conds, self.params, gw)
-        jax.block_until_ready(dm["trajs_final"])
+        # single bulk device->host fetch: per-element indexing of device
+        # arrays in the loop below would pay one tunneled round-trip
+        # (~20 ms) per scalar — 4 scalars x Q queries swamped the device
+        # compute itself before this was batched
+        dm = jax.device_get(dm)
         t_total = time.perf_counter() - t0
 
-        trajs = np.asarray(dm["trajs_final"])
-        free = np.asarray(dm["free_mask"])
-        cost_sm = np.asarray(dm["cost_smoothness"])
-        cost_pl = np.asarray(dm["cost_path_length"])
+        trajs = dm["trajs_final"]
+        free = dm["free_mask"]
+        cost_sm = dm["cost_smoothness"]
+        cost_pl = dm["cost_path_length"]
         results = []
         for qi in range(Q):
             success = int(free[qi].any())

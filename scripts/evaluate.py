@@ -37,6 +37,17 @@ def main():
                         "uses 1.83 for the Panda)")
     p.add_argument("--use-ddim", action="store_true",
                    help="DDIM subsequence sampling instead of the DDPM chain")
+    p.add_argument("--ddim-times", default=None,
+                   help="comma-separated DDIM timestep subsequence, e.g. "
+                        "'0,1,2,4,9,24' (low-t-biased); default: uniform "
+                        "linspace stride as in the reference")
+    p.add_argument("--ddim-eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = reference-faithful "
+                        "deterministic; 1 = DDPM-style posterior noise "
+                        "between guided steps)")
+    p.add_argument("--ddim-refine-noise-std", type=float, default=0.0,
+                   help="exploration noise between DDIM refine steps, in "
+                        "units of the schedule's smallest noisy-step std")
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
@@ -103,6 +114,10 @@ def main():
             start_guide_steps_fraction=args.start_guide_steps_fraction,
             use_ddim=args.use_ddim,
             ddim_refine_steps=args.ddim_refine_steps,
+            ddim_times=(tuple(int(t) for t in args.ddim_times.split(","))
+                        if args.ddim_times else None),
+            ddim_eta=args.ddim_eta,
+            ddim_refine_noise_std=args.ddim_refine_noise_std,
         ),
     )
 

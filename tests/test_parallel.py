@@ -181,3 +181,91 @@ def test_ddim_extra_refine_steps_apply_guide(setup):
     d0 = float(jnp.abs(x0[:, interior] - target).mean())
     d5 = float(jnp.abs(x5[:, interior] - target).mean())
     assert d5 < d0
+
+
+def test_ddim_chain_bounded_under_exponential_schedule(setup):
+    """Regression: the production exponential schedule ends at beta=1.0, so
+    alphas_cumprod[T-1] ~ 5e-10 and an unclamped predict_start_from_noise
+    multiplies the first DDIM step by ~1/sqrt(acp) ~ 4e4 — the whole chain
+    rides a divergent state (measured |x| ~ 1e2; guided == unguided ==
+    garbage). clip_denoised (the default, as in the DDPM path's
+    p_mean_variance) must keep every chain entry O(1);
+    clip_denoised=False preserves the literal reference ddim_sample
+    behavior (ref diffusion_model_base.py:184-259), divergent here."""
+    from mpd_tpu.diffusion import run_ddim_sampling
+
+    net, params, sched, H, D = setup
+    B = 4
+    eps_fn = lambda x, t: net.apply(params, x, t)
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.3}
+
+    def run(k, clip):
+        return run_ddim_sampling(
+            sched, eps_fn, k, (B, H, D), conds,
+            SamplerConfig(t_start_guide=-(10**9), clip_denoised=clip),
+            return_chain=True,
+        )
+
+    _, chain = jax.jit(lambda k: run(k, True))(jax.random.PRNGKey(0))
+    # init entry is N(0,1) noise; every denoised entry must stay O(1)
+    assert float(jnp.abs(chain[1:]).max()) < 3.0
+    _, chain_ref = jax.jit(lambda k: run(k, False))(jax.random.PRNGKey(0))
+    assert float(jnp.abs(chain_ref[1:]).max()) > 10.0  # documented divergence
+
+
+def test_ddim_explicit_times_subsequence(setup):
+    """ddim_times: an explicit (low-t-biased) timestep subsequence replaces
+    the uniform linspace stride; 0 and T-1 are forced in, the chain has one
+    entry per step pair plus the init, and endpoints stay pinned."""
+    from mpd_tpu.diffusion import run_ddim_sampling
+
+    net, params, sched, H, D = setup
+    B = 4
+    eps_fn = lambda x, t: net.apply(params, x, t)
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.3}
+    times = (1, 2, 4, 9)  # 0 and 24 forced in -> 6 times -> 6 pairs
+
+    x, chain = jax.jit(
+        lambda k: run_ddim_sampling(
+            sched, eps_fn, k, (B, H, D), conds,
+            SamplerConfig(t_start_guide=-(10**9)),
+            return_chain=True, times=times,
+        )
+    )(jax.random.PRNGKey(0))
+    assert chain.shape[0] == 7  # init + 6 pairs
+    assert np.isfinite(np.asarray(x)).all()
+    np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
+
+
+def test_ddim_eta_and_refine_noise(setup):
+    """eta>0 adds DDPM-style posterior noise inside the DDIM steps, and
+    refine_noise_std>0 adds exploration noise between the extra refine
+    steps; both must change the output (vs their deterministic
+    counterparts) while keeping it finite, bounded, and pinned."""
+    from mpd_tpu.diffusion import run_ddim_sampling
+
+    net, params, sched, H, D = setup
+    B = 4
+    eps_fn = lambda x, t: net.apply(params, x, t)
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.3}
+    cfg = SamplerConfig(t_start_guide=-(10**9))
+
+    def run(k, eta=0.0, refine=0, rnoise=0.0):
+        return run_ddim_sampling(
+            sched, eps_fn, k, (B, H, D), conds, cfg,
+            eta=eta, extra_refine_steps=refine, refine_noise_std=rnoise,
+        )
+
+    key = jax.random.PRNGKey(0)
+    x_det = jax.jit(lambda k: run(k))(key)
+    x_eta = jax.jit(lambda k: run(k, eta=1.0))(key)
+    assert float(jnp.abs(x_eta - x_det).max()) > 1e-4
+    x_r_det = jax.jit(lambda k: run(k, refine=3))(key)
+    x_r_noise = jax.jit(lambda k: run(k, refine=3, rnoise=1.0))(key)
+    assert float(jnp.abs(x_r_noise - x_r_det).max()) > 1e-6
+    for x in (x_eta, x_r_noise):
+        assert np.isfinite(np.asarray(x)).all()
+        assert float(jnp.abs(x).max()) < 3.0
+        np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
