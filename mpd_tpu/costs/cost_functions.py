@@ -62,6 +62,39 @@ class CostCollision:
             return 0.5 * jnp.sum(err**2, axis=(-2, -1)) / self.sigma_coll**2
         return jnp.sum(err, axis=(-2, -1)) / (2.0 * self.sigma_coll**2)
 
+    def make_fused_interp_gradient(
+        self, num_interp: int, interpret: bool = False, block_b: int = 8
+    ):
+        """Pallas megakernel for d(sum cost(interp(x, num_interp)))/dx, or
+        None when (robot, field) is outside kernel coverage — the guide then
+        keeps its jax.grad path. See kernels/panda_guide.py."""
+        if self.squared:
+            return None
+        from mpd_tpu.kernels.panda_guide import make_panda_collision_grad
+
+        kfn = make_panda_collision_grad(
+            self.robot,
+            self.field,
+            margin=self.cutoff_margin,
+            sigma=self.sigma_coll,
+            num_interp=num_interp,
+            block_b=block_b,
+            interpret=interpret,
+        )
+        if kfn is None:
+            return None
+        q_dim = self.robot.q_dim
+
+        def grad_fn(x_phys: jnp.ndarray) -> jnp.ndarray:
+            # collision reads only the position slice of the interpolated
+            # state, so the velocity slice of the gradient is exactly zero
+            gq = kfn(self.robot.get_position(x_phys))
+            return jnp.concatenate(
+                [gq, jnp.zeros_like(x_phys[..., q_dim:])], axis=-1
+            )
+
+        return grad_fn
+
 
 class CostGPTrajectory:
     """Constant-velocity GP (white-noise-on-acceleration) smoothness prior.

@@ -49,6 +49,7 @@ class GuideTrajectoriesWithVelocity:
         max_grad_value: float = 0.1,
         interpolate_trajectories_for_collision: bool = False,
         num_interpolated_points_for_collision: int = 128,
+        fused_collision: str = "auto",
     ):
         self.unnormalize_fn = unnormalize_fn
         self.cost = cost
@@ -58,6 +59,27 @@ class GuideTrajectoriesWithVelocity:
         self.max_grad_value = float(max_grad_value)
         self.interpolate = interpolate_trajectories_for_collision
         self.num_interp = num_interpolated_points_for_collision
+        # Pallas megakernel for collision-term gradients (TPU perf path —
+        # see kernels/panda_guide.py). "auto": on when running on a real TPU
+        # backend; "on"/"interpret": force (interpret = CPU parity tests);
+        # "off": always jax.grad. Terms outside kernel coverage silently
+        # keep the autodiff path either way.
+        self._fused_grads = {}
+        if self.interpolate and fused_collision != "off":
+            want = fused_collision in ("on", "interpret") or (
+                fused_collision == "auto" and jax.default_backend() == "tpu"
+            )
+            if want:
+                for idx, term in enumerate(self.cost.cost_list):
+                    make = getattr(term, "make_fused_interp_gradient", None)
+                    if make is None:
+                        continue
+                    fn = make(
+                        self.num_interp,
+                        interpret=(fused_collision == "interpret"),
+                    )
+                    if fn is not None:
+                        self._fused_grads[idx] = fn
 
     def _clip_gradient(self, grad: jnp.ndarray) -> jnp.ndarray:
         if not self.clip_grad:
@@ -87,7 +109,11 @@ class GuideTrajectoriesWithVelocity:
         grad_total = jnp.zeros_like(x_phys)
         for idx, weight in enumerate(ws):
             term = self.cost.cost_list[idx]
-            if hasattr(term, "gradient"):
+            if idx in self._fused_grads:
+                # Pallas megakernel: fused interp + FK + SDF + hinge +
+                # analytic backward in one program (see __init__)
+                grad_cost = self._fused_grads[idx](x_phys)
+            elif hasattr(term, "gradient"):
                 # analytic gradient (e.g. the quadratic GP prior): skips a
                 # whole autodiff backward pass per guide step
                 grad_cost = term.gradient(x_phys)

@@ -3,3 +3,4 @@ from mpd_tpu.kernels.fused_unet import (
     pallas_unet_apply,
     pallas_available,
 )
+from mpd_tpu.kernels.panda_guide import make_panda_collision_grad

@@ -74,6 +74,11 @@ class PlannerConfig:
     # exploration noise (in units of the schedule's smallest noisy-step
     # std) injected between ddim_refine_steps — see run_ddim_sampling
     ddim_refine_noise_std: float = 0.0
+    # Pallas megakernel for the collision-guide gradient ("auto" = on when
+    # the backend is a real TPU; "on"/"interpret"/"off" force — see
+    # kernels/panda_guide.py). Covers Panda + sphere-only fields; other
+    # terms keep the jax.grad path.
+    fused_collision_guide: str = "auto"
 
 
 @dataclasses.dataclass
@@ -172,6 +177,7 @@ class MotionPlanner:
             clip_grad=True,
             interpolate_trajectories_for_collision=True,
             num_interpolated_points_for_collision=128,
+            fused_collision=config.fused_collision_guide,
             **guide_kwargs,
         )
 

@@ -152,6 +152,10 @@ def _fk_scalar_chain(q, xp, want_axes: bool = False):
     guide around this FK was ~97% of a Panda planning query). Identity/zero
     entries fold away at trace time (most DH constants are 0/±1).
 
+    `q` is either an array [..., 7] or a list/tuple of 7 per-joint batch
+    arrays (the list form lets the Pallas guide megakernel reuse this exact
+    chain on structure-of-arrays registers — see kernels/panda_guide.py).
+
     Returns (origins, axes, axis_pts): lists of [3]-lists of batch arrays
     (or float 0.0/1.0 for entries that fold to constants); axes/axis_pts
     are None unless want_axes.
@@ -167,7 +171,7 @@ def _fk_scalar_chain(q, xp, want_axes: bool = False):
         a, d, alpha = (float(v) for v in _PANDA_DH[i])
         ca, sa = _snap(float(np.cos(alpha))), _snap(float(np.sin(alpha)))
         if i < 7:
-            theta = q[..., i]
+            theta = q[i] if isinstance(q, (list, tuple)) else q[..., i]
             ct, st = xp.cos(theta), xp.sin(theta)
         else:
             ct, st = 1.0, 0.0
@@ -296,6 +300,37 @@ def _panda_sphere_joint_mask() -> np.ndarray:
 _PANDA_JOINT_MASK = _panda_sphere_joint_mask()
 
 
+def _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list):
+    """Scalar-form backward: cotangents on sphere centers -> joint grads.
+
+    g_list: list of S [3]-lists of batch arrays (cotangent per center).
+    Revolute rule J[s, i] = mask * z_i x (c_s - o_i); instead of
+    materializing J, use g_s . (z_i x (c_s - o_i)) = z_i . (c_s x g_s)
+    - z_i . (o_i x G) and the chain structure (joint i affects spheres on
+    segments >= i): accumulate per-segment sums of (c x g) and g, then
+    suffix-sum from the wrist down — O(S + 7) elementwise triples, no
+    [S, 7, 3] tensor. Returns a list of 7 batch arrays (or trace-time 0.0).
+    Shared by the custom VJP below and the Pallas guide megakernel."""
+    segs = list(range(7)) * len(_SEGMENT_FRACTIONS) + [6]
+    seg_cg = [[0.0, 0.0, 0.0] for _ in range(7)]
+    seg_g = [[0.0, 0.0, 0.0] for _ in range(7)]
+    for s, seg in enumerate(segs):
+        gs = g_list[s]
+        cg = _cross(cs[s], gs)
+        seg_cg[seg] = [_add(seg_cg[seg][k], cg[k]) for k in range(3)]
+        seg_g[seg] = [_add(seg_g[seg][k], gs[k]) for k in range(3)]
+    grad_comps = [0.0] * 7
+    cx = [0.0, 0.0, 0.0]
+    gsum = [0.0, 0.0, 0.0]
+    for j in range(6, -1, -1):
+        cx = [_add(cx[k], seg_cg[j][k]) for k in range(3)]
+        gsum = [_add(gsum[k], seg_g[j][k]) for k in range(3)]
+        grad_comps[j] = _sub(
+            _dot3(axes[j], cx), _dot3(axes[j], _cross(axis_pts[j], gsum))
+        )
+    return grad_comps
+
+
 def _make_panda_sphere_positions_vjp():
     import jax
 
@@ -311,30 +346,10 @@ def _make_panda_sphere_positions_vjp():
         return centers, (axes, axis_pts, cs)
 
     def bwd(res, g):
-        # g: [..., S, 3] cotangent on sphere centers. Revolute rule
-        # J[s, i] = mask * z_i x (c_s - o_i); instead of materializing J,
-        # use g_s . (z_i x (c_s - o_i)) = z_i . (c_s x g_s) - z_i . (o_i x G)
-        # and the chain structure (joint i affects spheres on segments >= i):
-        # accumulate per-segment sums of (c x g) and g, then suffix-sum from
-        # the wrist down — O(S + 7) elementwise triples, no [S, 7, 3] tensor.
         axes, axis_pts, cs = res
-        segs = list(range(7)) * len(_SEGMENT_FRACTIONS) + [6]
-        seg_cg = [[0.0, 0.0, 0.0] for _ in range(7)]
-        seg_g = [[0.0, 0.0, 0.0] for _ in range(7)]
-        for s, seg in enumerate(segs):
-            gs = [g[..., s, k] for k in range(3)]
-            cg = _cross(cs[s], gs)
-            seg_cg[seg] = [_add(seg_cg[seg][k], cg[k]) for k in range(3)]
-            seg_g[seg] = [_add(seg_g[seg][k], gs[k]) for k in range(3)]
-        grad_comps = [0.0] * 7
-        cx = [0.0, 0.0, 0.0]
-        gsum = [0.0, 0.0, 0.0]
-        for j in range(6, -1, -1):
-            cx = [_add(cx[k], seg_cg[j][k]) for k in range(3)]
-            gsum = [_add(gsum[k], seg_g[j][k]) for k in range(3)]
-            grad_comps[j] = _sub(
-                _dot3(axes[j], cx), _dot3(axes[j], _cross(axis_pts[j], gsum))
-            )
+        n_spheres = 7 * len(_SEGMENT_FRACTIONS) + 1
+        g_list = [[g[..., s, k] for k in range(3)] for s in range(n_spheres)]
+        grad_comps = _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list)
         zero = jnp.zeros_like(g[..., 0, 0])
         comps = [c + zero if isinstance(c, float) else c for c in grad_comps]
         return (jnp.stack(comps, axis=-1),)

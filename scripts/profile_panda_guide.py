@@ -37,6 +37,9 @@ def main():
     p.add_argument("--batch", type=int, default=100)
     p.add_argument("--n-interp", type=int, default=128)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "on", "off", "interpret"],
+                   help="fused_collision mode for the guide (A/B the Pallas megakernel)")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the 60-guide-step block")
     args = p.parse_args()
@@ -102,7 +105,9 @@ def main():
     guide = GuideTrajectoriesWithVelocity(
         unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
         interpolate_trajectories_for_collision=True,
-        num_interpolated_points_for_collision=N)
+        num_interpolated_points_for_collision=N,
+        fused_collision=args.fused)
+    print(f"fused collision kernel: {sorted(guide._fused_grads)}", file=sys.stderr)
 
     @jax.jit
     def guide60(x):

@@ -45,3 +45,99 @@ def test_fused_unet_matches_flax_full_size():
     ref = net.apply(variables, x, t)
     fused = pallas_unet_apply(variables, x, t, dim_mults=mults, block_b=4)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Panda collision-guide megakernel (kernels/panda_guide.py)
+# ---------------------------------------------------------------------------
+
+def _panda_collision_setup(num_interp=32):
+    from mpd_tpu.world.envs import get_env
+    from mpd_tpu.world.robots import get_robot
+    from mpd_tpu.costs.cost_functions import CostCollision
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    H = 16
+    cost = CostCollision(
+        robot, H, field=env.objects, sigma_coll=1.0, cutoff_margin=0.03
+    )
+    key = jax.random.PRNGKey(0)
+    q = jax.random.uniform(
+        key, (3, H, 7), minval=robot.q_min, maxval=robot.q_max
+    )
+    dq = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (3, H, 7))
+    x_phys = jnp.concatenate([q, dq], axis=-1)
+    return robot, cost, x_phys, num_interp
+
+
+def test_panda_collision_grad_matches_autodiff():
+    from mpd_tpu.world.task import interpolate_points
+
+    robot, cost, x_phys, num_interp = _panda_collision_setup()
+
+    def total_cost(x):
+        return jnp.sum(cost(x, interpolate_points(x, num_interp)))
+
+    ref = jax.grad(total_cost)(x_phys)
+    fused_fn = cost.make_fused_interp_gradient(num_interp, interpret=True)
+    assert fused_fn is not None
+    fused = fused_fn(x_phys)
+
+    assert fused.shape == x_phys.shape
+    # velocity slice of the collision gradient is exactly zero
+    np.testing.assert_array_equal(np.asarray(fused[..., 7:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-6
+    )
+    # the cost actually has active hinge terms (test isn't vacuously 0 == 0)
+    assert float(jnp.abs(ref).max()) > 0
+
+
+def test_guide_fused_collision_matches_autodiff_guide():
+    """Full guide parity: fused_collision='interpret' vs 'off' (jax.grad),
+    including per-term norm clipping, endpoint zeroing and GP term."""
+    from mpd_tpu.costs.cost_functions import CostComposite, CostGPTrajectory
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+
+    robot, cost_coll, x_phys, num_interp = _panda_collision_setup()
+    H = x_phys.shape[-2]
+    composite = CostComposite(
+        robot, H,
+        [cost_coll, CostGPTrajectory(robot, H, dt=5.0 / H)],
+        weights_cost_l=[1e-2, 1e-7],
+    )
+
+    def make_guide(mode):
+        return GuideTrajectoriesWithVelocity(
+            unnormalize_fn=lambda x: x * 0.5 + 0.1,  # affine stand-in
+            cost=composite,
+            clip_grad=True,
+            interpolate_trajectories_for_collision=True,
+            num_interpolated_points_for_collision=num_interp,
+            fused_collision=mode,
+        )
+
+    g_ref = make_guide("off")
+    g_fused = make_guide("interpret")
+    assert g_fused._fused_grads, "kernel path not built"
+
+    x_norm = (x_phys - 0.1) / 0.5
+    upd_ref = g_ref(x_norm)
+    upd_fused = g_fused(x_norm)
+    np.testing.assert_allclose(
+        np.asarray(upd_fused), np.asarray(upd_ref), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_fused_collision_unsupported_field_falls_back():
+    """2D box env -> kernel unsupported -> make_fused_interp_gradient None
+    and the guide silently keeps the autodiff path."""
+    from mpd_tpu.world.envs import get_env
+    from mpd_tpu.world.robots import get_robot
+    from mpd_tpu.costs.cost_functions import CostCollision
+
+    env = get_env("EnvDense2D")
+    robot = get_robot("RobotPointMass")
+    cost = CostCollision(robot, 16, field=env.objects)
+    assert cost.make_fused_interp_gradient(32, interpret=True) is None
