@@ -55,6 +55,10 @@ def main():
                    help=">0: plan this many queries per device call "
                         "(MotionPlanner.plan_batch serving path); per-query "
                         "latency is the amortized batch time")
+    p.add_argument("--fused-collision", default="auto",
+                   choices=["auto", "on", "off", "interpret"],
+                   help="Pallas collision-guide megakernel mode (A/B vs the "
+                        "jax.grad path; see kernels/panda_guide.py)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
@@ -118,6 +122,7 @@ def main():
                         if args.ddim_times else None),
             ddim_eta=args.ddim_eta,
             ddim_refine_noise_std=args.ddim_refine_noise_std,
+            fused_collision_guide=args.fused_collision,
         ),
     )
 
