@@ -63,24 +63,30 @@ class CostCollision:
         return jnp.sum(err, axis=(-2, -1)) / (2.0 * self.sigma_coll**2)
 
     def make_fused_interp_gradient(
-        self, num_interp: int, interpret: bool = False, block_b: int = 8
+        self, num_interp: int, interpret: bool = False, block_b=None
     ):
         """Pallas megakernel for d(sum cost(interp(x, num_interp)))/dx, or
         None when (robot, field) is outside kernel coverage — the guide then
-        keeps its jax.grad path. See kernels/panda_guide.py."""
+        keeps its jax.grad path. See kernels/{panda,pointmass}_guide.py."""
         if self.squared:
             return None
         from mpd_tpu.kernels.panda_guide import make_panda_collision_grad
+        from mpd_tpu.kernels.pointmass_guide import make_pointmass_collision_grad
 
-        kfn = make_panda_collision_grad(
-            self.robot,
-            self.field,
-            margin=self.cutoff_margin,
-            sigma=self.sigma_coll,
-            num_interp=num_interp,
-            block_b=block_b,
-            interpret=interpret,
-        )
+        kfn = None
+        for builder in (make_panda_collision_grad, make_pointmass_collision_grad):
+            kw = {} if block_b is None else {"block_b": block_b}
+            kfn = builder(
+                self.robot,
+                self.field,
+                margin=self.cutoff_margin,
+                sigma=self.sigma_coll,
+                num_interp=num_interp,
+                interpret=interpret,
+                **kw,
+            )
+            if kfn is not None:
+                break
         if kfn is None:
             return None
         q_dim = self.robot.q_dim

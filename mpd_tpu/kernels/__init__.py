@@ -4,3 +4,4 @@ from mpd_tpu.kernels.fused_unet import (
     pallas_available,
 )
 from mpd_tpu.kernels.panda_guide import make_panda_collision_grad
+from mpd_tpu.kernels.pointmass_guide import make_pointmass_collision_grad

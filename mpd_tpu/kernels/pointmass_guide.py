@@ -1,0 +1,195 @@
+"""Pallas megakernel for the 2D point-mass collision-guide gradient.
+
+The 2D analogue of kernels/panda_guide.py (see its module docstring for the
+motivation): d(sum_b cost_coll(interp(x_b)))/dq in ONE Pallas program. At
+the large-batch bench operating point (B=4096 on EnvDense2D+extra: 524k
+interpolated points x 28 obstacles) the guide is ~30% of device time and
+XLA's gather/where/broadcast chain for the padded SDF sets round-trips
+[B,N,n_obj]-shaped intermediates through HBM; here the obstacle loop is
+unrolled over compile-time floats with everything resident in VMEM.
+
+Semantics match the autodiff path through costs/cost_functions.CostCollision
++ world/primitives.sdf_object_set (parity test in tests/test_kernels.py):
+- linear interpolation to `num_interp` points as a pair of static-matrix
+  MXU matmuls, with the gradient flowing back through the transpose;
+- sphere SDF: d = |p - c| - r, unit-vector gradient;
+- axis-aligned-box SDF: q = |p - c| - h, d = ‖max(q,0)‖ + min(max_i q, 0);
+  outside-gradient (max(q,0)/‖·‖)·sign(p - c) with the zero subgradient at
+  the interior (primitives._safe_norm contract), interior-gradient sign on
+  the argmax dimension only;
+- min over obstacles backpropagates to the argmin object only (ties, a
+  measure-zero event, differ from autodiff's equal split);
+- hinge: err = max(margin + r_robot - sdf, 0), cost = sum err / (2 sigma^2)
+  (squared=False, the guidance form).
+
+Obstacle data is baked in as python floats — environments are static
+closures framework-wide. Supports the point robot (FK = identity) in 2D
+sphere/box fields, i.e. all three 2D tasks incl. ExtraObjects variants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpd_tpu.world.primitives import ObjectSet
+from mpd_tpu.world.robots import RobotPointMass
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_BIG = 1e6
+
+
+def _active_obstacles(field: ObjectSet):
+    sc = np.asarray(field.sphere_centers, np.float64)
+    sr = np.asarray(field.sphere_radii, np.float64)
+    bc = np.asarray(field.box_centers, np.float64)
+    bh = np.asarray(field.box_half_extents, np.float64)
+    spheres = [
+        (float(c[0]), float(c[1]), float(r))
+        for c, r in zip(sc, sr)
+        if r >= 0
+    ]
+    boxes = [
+        (float(c[0]), float(c[1]), float(h[0]), float(h[1]))
+        for c, h in zip(bc, bh)
+        if h[0] >= 0
+    ]
+    return spheres, boxes
+
+
+def supported(robot, field: ObjectSet) -> bool:
+    """Kernel covers: point robot, 2D sphere/box obstacle fields."""
+    if not (_HAS_PALLAS and isinstance(robot, RobotPointMass) and field.ws_dim == 2):
+        return False
+    spheres, boxes = _active_obstacles(field)
+    return len(spheres) + len(boxes) > 0
+
+
+def make_pointmass_collision_grad(
+    robot: RobotPointMass,
+    field: ObjectSet,
+    margin: float,
+    sigma: float,
+    num_interp: int = 128,
+    block_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Build fn(q [..., H, 2]) -> d(sum cost_coll(interp))/dq [..., H, 2].
+
+    Returns None when (robot, field) is outside coverage (caller keeps the
+    jax.grad path). `block_b=None` picks the batch blocking from B at trace
+    time (large blocks amortize per-program overhead at bench batch sizes).
+    """
+    if not supported(robot, field):
+        return None
+    from mpd_tpu.kernels.panda_guide import _interp_matrix
+
+    spheres, boxes = _active_obstacles(field)
+    r_robot = float(np.asarray(robot.collision_sphere_radii)[0])
+    margin = float(margin)
+    inv_two_sigma2 = 1.0 / (2.0 * float(sigma) ** 2)
+
+    def kernel(q_ref, w_ref, wt_ref, out_ref):
+        # q_ref: [2, bb, H]; w_ref: [H, N]; wt_ref: [N, H]; out_ref: [2, bb, H]
+        W = w_ref[:]
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        px = jnp.dot(q_ref[0], W, **kw)  # [bb, N]
+        py = jnp.dot(q_ref[1], W, **kw)
+        zeros = px * 0.0
+
+        best_d = zeros + _BIG
+        bgx = zeros
+        bgy = zeros
+        for cx, cy, orad in spheres:
+            dx = px - cx
+            dy = py - cy
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            inv = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+            d_o = dist - orad
+            upd = d_o < best_d
+            best_d = jnp.where(upd, d_o, best_d)
+            bgx = jnp.where(upd, dx * inv, bgx)
+            bgy = jnp.where(upd, dy * inv, bgy)
+        for cx, cy, hx, hy in boxes:
+            ux = px - cx
+            uy = py - cy
+            qx = jnp.abs(ux) - hx
+            qy = jnp.abs(uy) - hy
+            qax = jnp.maximum(qx, 0.0)
+            qay = jnp.maximum(qy, 0.0)
+            out2 = qax * qax + qay * qay
+            pos = out2 > 0.0
+            outside = jnp.where(pos, jnp.sqrt(jnp.where(pos, out2, 1.0)), 0.0)
+            qmax = jnp.maximum(qx, qy)
+            d_o = outside + jnp.minimum(qmax, 0.0)
+            # outside gradient: (max(q,0)/‖·‖) sign(u); zero at the interior
+            # (the _safe_norm zero-subgradient contract)
+            inv_out = jnp.where(pos, 1.0 / jnp.maximum(outside, 1e-30), 0.0)
+            gx = qax * inv_out * jnp.sign(ux)
+            gy = qay * inv_out * jnp.sign(uy)
+            # interior gradient: sign(u) on the argmax dim of q only
+            interior = qmax < 0.0
+            gx = gx + jnp.where(interior & (qx >= qy), jnp.sign(ux), 0.0)
+            gy = gy + jnp.where(interior & (qy > qx), jnp.sign(uy), 0.0)
+            upd = d_o < best_d
+            best_d = jnp.where(upd, d_o, best_d)
+            bgx = jnp.where(upd, gx, bgx)
+            bgy = jnp.where(upd, gy, bgy)
+
+        coef = jnp.where(margin + r_robot - best_d > 0.0, -inv_two_sigma2, 0.0)
+        Wt = wt_ref[:]
+        out_ref[0] = jnp.dot(coef * bgx, Wt, **kw)
+        out_ref[1] = jnp.dot(coef * bgy, Wt, **kw)
+
+    def apply(q: jnp.ndarray) -> jnp.ndarray:
+        lead = q.shape[:-2]
+        H = q.shape[-2]
+        q2 = q.reshape((-1, H, 2))
+        B = q2.shape[0]
+        bb = block_b if block_b is not None else (32 if B >= 256 else 8)
+        Bp = -(-B // bb) * bb
+        if Bp != B:
+            q2 = jnp.concatenate(
+                [q2, jnp.zeros((Bp - B, H, 2), q2.dtype)], axis=0
+            )
+        qt = q2.astype(jnp.float32).transpose(2, 0, 1)  # [2, Bp, H]
+        W = jnp.asarray(_interp_matrix(H, num_interp))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // bb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (2, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (H, num_interp), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (num_interp, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((2, Bp, H), jnp.float32),
+            interpret=interpret,
+        )(qt, W, W.T)
+
+        g = out.transpose(1, 2, 0)[:B].astype(q.dtype)  # [B, H, 2]
+        return g.reshape(lead + (H, 2))
+
+    return apply

@@ -131,13 +131,103 @@ def test_guide_fused_collision_matches_autodiff_guide():
 
 
 def test_fused_collision_unsupported_field_falls_back():
-    """2D box env -> kernel unsupported -> make_fused_interp_gradient None
-    and the guide silently keeps the autodiff path."""
+    """Panda in a 3D field with active boxes -> outside panda-kernel
+    coverage (sphere-only) and outside pointmass coverage (robot/dim) ->
+    make_fused_interp_gradient returns None and the guide silently keeps
+    the autodiff path."""
+    from mpd_tpu.world.robots import get_robot
+    from mpd_tpu.world.primitives import make_object_set
+    from mpd_tpu.costs.cost_functions import CostCollision
+
+    robot = get_robot("RobotPanda")
+    field = make_object_set(
+        boxes=[((0.4, 0.0, 0.4), (0.1, 0.1, 0.1))], ws_dim=3
+    )
+    cost = CostCollision(robot, 16, field=field)
+    assert cost.make_fused_interp_gradient(32, interpret=True) is None
+
+
+# ---------------------------------------------------------------------------
+# 2D point-mass collision-guide megakernel (kernels/pointmass_guide.py)
+# ---------------------------------------------------------------------------
+
+def _pointmass_collision_setup(env_name, num_interp=64):
     from mpd_tpu.world.envs import get_env
     from mpd_tpu.world.robots import get_robot
     from mpd_tpu.costs.cost_functions import CostCollision
 
-    env = get_env("EnvDense2D")
+    env = get_env(env_name, use_extra_objects=True)
     robot = get_robot("RobotPointMass")
-    cost = CostCollision(robot, 16, field=env.objects)
-    assert cost.make_fused_interp_gradient(32, interpret=True) is None
+    H = 16
+    cost = CostCollision(
+        robot, H, field=env.objects, sigma_coll=1.0, cutoff_margin=0.05
+    )
+    q = jax.random.uniform(
+        jax.random.PRNGKey(0), (5, H, 2), minval=-1.0, maxval=1.0
+    )
+    dq = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (5, H, 2))
+    x_phys = jnp.concatenate([q, dq], axis=-1)
+    return robot, cost, x_phys, num_interp
+
+
+@pytest.mark.parametrize(
+    "env_name", ["EnvSimple2D", "EnvDense2D", "EnvNarrowPassageDense2D"]
+)
+def test_pointmass_collision_grad_matches_autodiff(env_name):
+    """Sphere + box SDF gradients (incl. box-interior subgradients) vs
+    jax.grad through sdf_object_set on all three 2D tasks."""
+    from mpd_tpu.world.task import interpolate_points
+
+    robot, cost, x_phys, num_interp = _pointmass_collision_setup(env_name)
+
+    def total_cost(x):
+        return jnp.sum(cost(x, interpolate_points(x, num_interp)))
+
+    ref = jax.grad(total_cost)(x_phys)
+    fused_fn = cost.make_fused_interp_gradient(num_interp, interpret=True)
+    assert fused_fn is not None
+    fused = fused_fn(x_phys)
+
+    assert fused.shape == x_phys.shape
+    np.testing.assert_array_equal(np.asarray(fused[..., 2:]), 0.0)
+    # matmul-form interpolation vs gather+lerp: f32 accumulation-order
+    # noise up to ~2e-5 on O(0.01-1) gradients
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-3, atol=2e-5
+    )
+    assert float(jnp.abs(ref).max()) > 0
+
+
+def test_pointmass_box_interior_gradient():
+    """Points inside a box: outside-term zero subgradient + interior
+    argmax-dim sign gradient, vs autodiff."""
+    from mpd_tpu.world.robots import get_robot
+    from mpd_tpu.world.primitives import make_object_set
+    from mpd_tpu.costs.cost_functions import CostCollision
+    from mpd_tpu.world.task import interpolate_points
+
+    robot = get_robot("RobotPointMass")
+    field = make_object_set(boxes=[((0.0, 0.0), (0.3, 0.2))], ws_dim=2)
+    H, N = 16, 32
+    cost = CostCollision(robot, H, field=field, cutoff_margin=0.05)
+    # trajectories crossing straight through the box interior
+    q = jnp.stack(
+        [
+            jnp.linspace(-0.8, 0.8, H)[:, None] * jnp.ones((H, 2)) * 0.5,
+            jnp.stack(
+                [jnp.linspace(-0.25, 0.25, H), jnp.linspace(0.15, -0.15, H)],
+                axis=-1,
+            ),
+        ]
+    )
+    x = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+
+    def total_cost(xx):
+        return jnp.sum(cost(xx, interpolate_points(xx, N)))
+
+    ref = jax.grad(total_cost)(x)
+    fused = cost.make_fused_interp_gradient(N, interpret=True)(x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-6
+    )
+    assert float(jnp.abs(ref).max()) > 0

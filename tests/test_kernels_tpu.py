@@ -69,3 +69,32 @@ def test_panda_collision_grad_compiles_through_mosaic_and_matches():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-3, atol=3e-4)
     assert float(jnp.abs(np.asarray(ref)).max()) > 0
+
+
+def test_pointmass_collision_grad_compiles_through_mosaic_and_matches():
+    from mpd_tpu.world.envs import get_env
+    from mpd_tpu.world.robots import get_robot
+    from mpd_tpu.world.task import interpolate_points
+    from mpd_tpu.costs.cost_functions import CostCollision
+
+    env = get_env("EnvDense2D", use_extra_objects=True)
+    robot = get_robot("RobotPointMass")
+    B, H, num_interp = 512, 64, 128
+    cost = CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                         cutoff_margin=0.05)
+    q = jax.random.uniform(jax.random.PRNGKey(0), (B, H, 2),
+                           minval=-1.0, maxval=1.0)
+    x = jnp.concatenate(
+        [q, 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, H, 2))], -1)
+
+    def total_cost(xx):
+        return jnp.sum(cost(xx, interpolate_points(xx, num_interp)))
+
+    ref = jax.jit(jax.grad(total_cost))(x)
+    fused_fn = cost.make_fused_interp_gradient(num_interp)
+    fused = jax.jit(fused_fn)(x)
+    # HIGHEST-precision MXU interpolation matmuls vs gather+lerp: f32
+    # accumulation-order noise only
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-3, atol=3e-4)
+    assert float(jnp.abs(np.asarray(ref)).max()) > 0
