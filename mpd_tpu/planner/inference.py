@@ -75,9 +75,10 @@ class PlannerConfig:
     # std) injected between ddim_refine_steps — see run_ddim_sampling
     ddim_refine_noise_std: float = 0.0
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
-    # the backend is a real TPU; "on"/"interpret"/"off" force — see
-    # kernels/panda_guide.py). Covers Panda + sphere-only fields; other
-    # terms keep the jax.grad path.
+    # the backend is a real TPU and no mesh is set; "on"/"interpret"/"off"
+    # force — see kernels/{panda,pointmass}_guide.py). Covers Panda in
+    # sphere-only 3D fields and the point robot in 2D sphere/box fields;
+    # other terms keep the jax.grad path.
     fused_collision_guide: str = "auto"
 
 
@@ -171,13 +172,20 @@ class MotionPlanner:
             else GuideTrajectoriesPositionOnly
         )
         guide_kwargs = {} if dataset.include_velocity else {"dt": dt}
+        # a pallas_call does not partition under GSPMD propagation (the
+        # mesh path shards the candidate axis by input placement alone),
+        # so "auto" keeps the autodiff guide when a mesh is set; "on"
+        # still forces the kernel for meshes that wrap it in shard_map
+        fused_mode = config.fused_collision_guide
+        if fused_mode == "auto" and mesh is not None:
+            fused_mode = "off"
         self.guide = guide_cls(
             unnormalize_fn=dataset.unnormalize_trajectories,
             cost=cost_composite,
             clip_grad=True,
             interpolate_trajectories_for_collision=True,
             num_interpolated_points_for_collision=128,
-            fused_collision=config.fused_collision_guide,
+            fused_collision=fused_mode,
             **guide_kwargs,
         )
 
