@@ -30,7 +30,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False):
+def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
+                fused="auto"):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane).
     With `ddim`, the fast lane: 6 DDIM subsequence steps + 5 guided refine
@@ -89,6 +90,7 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False):
         clip_grad=True,
         interpolate_trajectories_for_collision=True,
         num_interpolated_points_for_collision=128,
+        fused_collision=fused,
     )
     schedule = make_schedule("exponential", schedule_steps)
     cfg = SamplerConfig(n_guide_steps=5, t_start_guide=7, n_extra_steps=5,

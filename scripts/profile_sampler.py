@@ -36,6 +36,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the full guided query")
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "on", "off", "interpret"],
+                   help="fused_collision mode (A/B the guide megakernels)")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -57,7 +60,7 @@ def main():
     print(f"backend={jax.default_backend()} B={B}", file=sys.stderr)
 
     # full guided query (reuses bench's builder)
-    q_full = build_query(B)
+    q_full = build_query(B, fused=args.fused)
     t_full = timeit(lambda: q_full(jax.random.PRNGKey(0)))
     print(f"full guided query:      {t_full*1e3:8.2f} ms  ({B/t_full:,.0f} trajs/s)")
 
