@@ -63,11 +63,19 @@ class CostCollision:
         return jnp.sum(err, axis=(-2, -1)) / (2.0 * self.sigma_coll**2)
 
     def make_fused_interp_gradient(
-        self, num_interp: int, interpret: bool = False, block_b=None
+        self, num_interp: int, interpret: bool = False, block_b=None,
+        min_batch=None,
     ):
         """Pallas megakernel for d(sum cost(interp(x, num_interp)))/dx, or
         None when (robot, field) is outside kernel coverage — the guide then
-        keeps its jax.grad path. See kernels/{panda,pointmass}_guide.py."""
+        keeps its jax.grad path. See kernels/{panda,pointmass}_guide.py.
+
+        Below the builder's `min_batch` (a trace-time check on the static
+        batch shape) the returned fn computes the same gradient via jax.grad
+        instead: measured on the chip, the 2D kernel wins from B=128 up
+        (pipelined/query −6% at 128, −13% at 512, −8% at 4096) but loses
+        ~4% at B=50 to per-program overhead + layout transposes. Pass
+        min_batch=1 to force the kernel (parity tests)."""
         if self.squared:
             return None
         from mpd_tpu.kernels.panda_guide import make_panda_collision_grad
@@ -90,8 +98,19 @@ class CostCollision:
         if kfn is None:
             return None
         q_dim = self.robot.q_dim
+        min_b = min_batch if min_batch is not None else getattr(kfn, "min_batch", 1)
+
+        def autodiff_grad(x_phys):
+            from mpd_tpu.world.task import interpolate_points
+
+            return jax.grad(
+                lambda xx: jnp.sum(self(xx, interpolate_points(xx, num_interp)))
+            )(x_phys)
 
         def grad_fn(x_phys: jnp.ndarray) -> jnp.ndarray:
+            batch = int(np.prod(x_phys.shape[:-2])) if x_phys.ndim > 2 else 1
+            if batch < min_b:
+                return autodiff_grad(x_phys)
             # collision reads only the position slice of the interpolated
             # state, so the velocity slice of the gradient is exactly zero
             gq = kfn(self.robot.get_position(x_phys))

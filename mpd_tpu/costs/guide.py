@@ -74,9 +74,13 @@ class GuideTrajectoriesWithVelocity:
                     make = getattr(term, "make_fused_interp_gradient", None)
                     if make is None:
                         continue
+                    interp_mode = fused_collision == "interpret"
                     fn = make(
                         self.num_interp,
-                        interpret=(fused_collision == "interpret"),
+                        interpret=interp_mode,
+                        # interpret mode exists for CPU parity tests on tiny
+                        # batches: force the kernel past its min_batch gate
+                        min_batch=1 if interp_mode else None,
                     )
                     if fn is not None:
                         self._fused_grads[idx] = fn

@@ -192,4 +192,7 @@ def make_pointmass_collision_grad(
         g = out.transpose(1, 2, 0)[:B].astype(q.dtype)  # [B, H, 2]
         return g.reshape(lead + (H, 2))
 
+    # measured crossover vs the jax.grad path on the chip (see
+    # CostCollision.make_fused_interp_gradient): kernel wins from B=128 up
+    apply.min_batch = 128
     return apply

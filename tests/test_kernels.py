@@ -130,6 +130,18 @@ def test_guide_fused_collision_matches_autodiff_guide():
     )
 
 
+def test_pointmass_small_batch_gate_uses_autodiff_path():
+    """Below min_batch the returned fn traces the jax.grad path (same
+    values, no pallas_call in the jaxpr); at/above it, the kernel."""
+    robot, cost, x_phys, num_interp = _pointmass_collision_setup("EnvDense2D")
+    fn = cost.make_fused_interp_gradient(num_interp, interpret=True)
+    jaxpr_small = str(jax.make_jaxpr(fn)(x_phys))
+    assert "pallas_call" not in jaxpr_small  # B=5 < 128 -> autodiff
+    x_big = jnp.broadcast_to(x_phys[:1], (128,) + x_phys.shape[1:])
+    jaxpr_big = str(jax.make_jaxpr(fn)(x_big))
+    assert "pallas_call" in jaxpr_big
+
+
 def test_fused_collision_unsupported_field_falls_back():
     """Panda in a 3D field with active boxes -> outside panda-kernel
     coverage (sphere-only) and outside pointmass coverage (robot/dim) ->
@@ -184,7 +196,10 @@ def test_pointmass_collision_grad_matches_autodiff(env_name):
         return jnp.sum(cost(x, interpolate_points(x, num_interp)))
 
     ref = jax.grad(total_cost)(x_phys)
-    fused_fn = cost.make_fused_interp_gradient(num_interp, interpret=True)
+    # min_batch=1: force the kernel past its small-batch gate (B=5 here)
+    fused_fn = cost.make_fused_interp_gradient(
+        num_interp, interpret=True, min_batch=1
+    )
     assert fused_fn is not None
     fused = fused_fn(x_phys)
 
@@ -226,7 +241,7 @@ def test_pointmass_box_interior_gradient():
         return jnp.sum(cost(xx, interpolate_points(xx, N)))
 
     ref = jax.grad(total_cost)(x)
-    fused = cost.make_fused_interp_gradient(N, interpret=True)(x)
+    fused = cost.make_fused_interp_gradient(N, interpret=True, min_batch=1)(x)
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-6
     )
