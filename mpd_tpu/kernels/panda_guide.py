@@ -144,9 +144,11 @@ def make_panda_collision_grad(
         cs = _centers_scalar(origins)  # n_spheres x [3]-lists
 
         # ---- per-sphere SDF min over obstacles + hinge backward.
-        # Track the argmin obstacle's unit normal while scanning; constant
-        # center components (base-pillar spheres) are broadcast to full
-        # tiles first so every op stays a 2D VPU op.
+        # Track the argmin obstacle's (unnormalized) offset while scanning
+        # and normalize ONCE after the loop — saves the per-obstacle inverse
+        # and three multiplies (~25% of the dominant loop). Constant center
+        # components (base-pillar spheres) are broadcast to full tiles
+        # first so every op stays a 2D VPU op.
         g_list = []
         for s in range(n_spheres):
             c = [
@@ -154,25 +156,28 @@ def make_panda_collision_grad(
                 for comp in cs[s]
             ]
             best_d = zeros + _BIG
-            nx = zeros
-            ny = zeros
-            nz = zeros
+            bdx = zeros
+            bdy = zeros
+            bdz = zeros
             for ox, oy, oz, orad in obstacles:
                 dx = c[0] - ox
                 dy = c[1] - oy
                 dz = c[2] - oz
                 dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                inv = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
                 d_o = dist - orad
                 upd = d_o < best_d
                 best_d = jnp.where(upd, d_o, best_d)
-                nx = jnp.where(upd, dx * inv, nx)
-                ny = jnp.where(upd, dy * inv, ny)
-                nz = jnp.where(upd, dz * inv, nz)
-            coef = jnp.where(
-                margin + radii[s] - best_d > 0.0, -inv_two_sigma2, 0.0
+                bdx = jnp.where(upd, dx, bdx)
+                bdy = jnp.where(upd, dy, bdy)
+                bdz = jnp.where(upd, dz, bdz)
+            dist_b = jnp.sqrt(bdx * bdx + bdy * bdy + bdz * bdz)
+            inv = jnp.where(
+                dist_b > 0.0, 1.0 / jnp.maximum(dist_b, 1e-30), 0.0
             )
-            g_list.append([coef * nx, coef * ny, coef * nz])
+            coef = jnp.where(
+                margin + radii[s] - best_d > 0.0, -inv_two_sigma2 * inv, 0.0
+            )
+            g_list.append([coef * bdx, coef * bdy, coef * bdz])
 
         # ---- FK backward (scalar suffix-sum, shared with the custom VJP)
         grad_comps = _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list)

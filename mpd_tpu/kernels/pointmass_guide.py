@@ -110,19 +110,24 @@ def make_pointmass_collision_grad(
         py = jnp.dot(q_ref[1], W, **kw)
         zeros = px * 0.0
 
+        # argmin bookkeeping: spheres store the UNNORMALIZED offset and set
+        # the `sph` flag (normalized once after the loop — saves the
+        # per-obstacle inverse + multiplies); boxes store the finished
+        # gradient and clear the flag.
         best_d = zeros + _BIG
         bgx = zeros
         bgy = zeros
+        sph = zeros
         for cx, cy, orad in spheres:
             dx = px - cx
             dy = py - cy
             dist = jnp.sqrt(dx * dx + dy * dy)
-            inv = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
             d_o = dist - orad
             upd = d_o < best_d
             best_d = jnp.where(upd, d_o, best_d)
-            bgx = jnp.where(upd, dx * inv, bgx)
-            bgy = jnp.where(upd, dy * inv, bgy)
+            bgx = jnp.where(upd, dx, bgx)
+            bgy = jnp.where(upd, dy, bgy)
+            sph = jnp.where(upd, 1.0, sph)
         for cx, cy, hx, hy in boxes:
             ux = px - cx
             uy = py - cy
@@ -148,8 +153,15 @@ def make_pointmass_collision_grad(
             best_d = jnp.where(upd, d_o, best_d)
             bgx = jnp.where(upd, gx, bgx)
             bgy = jnp.where(upd, gy, bgy)
+            sph = jnp.where(upd, 0.0, sph)
 
-        coef = jnp.where(margin + r_robot - best_d > 0.0, -inv_two_sigma2, 0.0)
+        # normalize where the argmin was a sphere (box grads are finished)
+        nrm = jnp.sqrt(bgx * bgx + bgy * bgy)
+        inv_n = jnp.where(nrm > 0.0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+        scale = jnp.where(sph > 0.5, inv_n, 1.0)
+        coef = jnp.where(
+            margin + r_robot - best_d > 0.0, -inv_two_sigma2 * scale, 0.0
+        )
         Wt = wt_ref[:]
         out_ref[0] = jnp.dot(coef * bgx, Wt, **kw)
         out_ref[1] = jnp.dot(coef * bgy, Wt, **kw)
