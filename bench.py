@@ -90,7 +90,10 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
         clip_grad=True,
         interpolate_trajectories_for_collision=True,
         num_interpolated_points_for_collision=128,
-        fused_collision=fused,
+        # pallas_call does not partition under GSPMD propagation: keep the
+        # autodiff guide when the candidate axis is mesh-sharded (mirrors
+        # MotionPlanner's auto-mode rule)
+        fused_collision="off" if (mesh is not None and fused == "auto") else fused,
     )
     schedule = make_schedule("exponential", schedule_steps)
     cfg = SamplerConfig(n_guide_steps=5, t_start_guide=7, n_extra_steps=5,
