@@ -34,9 +34,10 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
                 fused="auto"):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane).
-    With `ddim`, the fast lane: 6 DDIM subsequence steps + 5 guided refine
-    steps (12 eps-model forwards vs the DDPM chain's 30; quality at this
-    config: 0.98-1.00 success at N=100, RESULTS.md). Weights are randomly
+    With `ddim`, the fast lane: 10 DDIM subsequence steps + 5 guided refine
+    steps (15 eps-model forwards vs the DDPM chain's 30; quality at this
+    config: 1.00 success on all three 2D tasks at N=100 with fraction-free
+    within 0.03-0.09 of DDPM, RESULTS.md). Weights are randomly
     initialized — the workload is compute-identical to a trained checkpoint
     (same program, same shapes); quality-bearing evals live in
     scripts/evaluate.py."""
@@ -116,7 +117,8 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
         if ddim:
             return run_ddim_sampling(schedule, eps_fn, key, (B, H, D),
                                      hard_conds, cfg, guide_fn=guide,
-                                     extra_refine_steps=5)
+                                     extra_refine_steps=5,
+                                     times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24))
         return run_sampling(schedule, eps_fn, key, (B, H, D), hard_conds,
                             cfg, guide_fn=guide)
 
