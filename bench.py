@@ -220,9 +220,9 @@ def _draw_query_pairs(ds, n, seed=30):
 def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
                       n_samples=100):
     """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
-    w_coll=5e-2, 10 guide steps (the RESULTS.md operating point that gives
-    100/100 success)."""
-    planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2, n_guide_steps=10)
+    w_coll=5e-2, 15 guide steps (the RESULTS.md operating point that gives
+    100/100 success at N=100; gs10 scores 0.99 over N=200)."""
+    planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2, n_guide_steps=15)
     qs = _draw_query_pairs(ds, 1)[0]
     hard_conds = planner.hard_conds_for(qs[0], qs[1])
 
@@ -233,14 +233,15 @@ def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500
 
 
 def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
-                        Q=16, n_samples=50):
+                        Q=16, n_samples=50, w_coll=3e-2, n_guide_steps=5):
     """Serving lane: Q planning queries per device call via plan_batch —
     the one-dispatch multi-query path that amortizes the per-call
     host<->device latency (the floor on single-query p50). Returns a
     closure whose wall-clock / Q is the amortized per-query latency."""
     import jax.numpy as jnp
 
-    planner, ds = _load_planner(model_dir, n_samples, w_coll=3e-2, n_guide_steps=5)
+    planner, ds = _load_planner(model_dir, n_samples, w_coll=w_coll,
+                                n_guide_steps=n_guide_steps)
     pairs = _draw_query_pairs(ds, Q)
     starts = jnp.stack([p[0] for p in pairs])
     goals = jnp.stack([p[1] for p in pairs])
@@ -257,7 +258,23 @@ def main():
     setup_runtime()  # persistent compile cache: repeat runs skip the
     # ~20 min remote cold compile of the guided query
 
+    import os
+
     import jax
+
+    t_bench_start = time.perf_counter()
+    # Optional lanes (DDIM / Panda / serving) are skipped past this
+    # deadline so a cold remote compile in a side lane can never starve
+    # the headline JSON line (core lanes print regardless).
+    lane_deadline_s = float(os.environ.get("BENCH_LANE_DEADLINE_S", 1500))
+
+    def past_deadline(lane):
+        el = time.perf_counter() - t_bench_start
+        if el > lane_deadline_s:
+            log(f"{lane} lane skipped: {el:.0f}s elapsed > "
+                f"BENCH_LANE_DEADLINE_S={lane_deadline_s:.0f}")
+            return True
+        return False
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
@@ -301,6 +318,8 @@ def main():
     log("compiling DDIM fast lane (12 forwards vs 30)...")
     ddim_lane = {}
     try:
+        if past_deadline("DDIM"):
+            raise TimeoutError("lane deadline")
         q_ddim = build_query(B_big, ddim=True)
         jax.block_until_ready([q_ddim(k) for k in keys[:4]])
         t_dd = time_pipelined(q_ddim)
@@ -319,6 +338,8 @@ def main():
     log("compiling Panda 100-sample query (trained checkpoint)...")
     panda = {}
     try:
+        if past_deadline("Panda"):
+            raise TimeoutError("lane deadline")
         q_panda, (pl, hc) = build_panda_query()
         t_panda = time_query(q_panda, n_iters=10)
         p50_panda = float(np.median(t_panda))
@@ -339,6 +360,8 @@ def main():
     log("compiling serving lane (plan_batch, Q=16 x 50 samples)...")
     serving = {}
     try:
+        if past_deadline("serving"):
+            raise TimeoutError("lane deadline")
         q_serve, Q = build_serving_batch()
         q_serve(jrandom.PRNGKey(0))  # warmup/compile (blocks internally)
         ts = []
@@ -356,6 +379,32 @@ def main():
     except Exception as e:
         log(f"serving lane skipped: {e}")
 
+    log("compiling Panda serving lane (plan_batch, Q=8 x 100 samples)...")
+    panda_serving = {}
+    try:
+        if past_deadline("Panda serving"):
+            raise TimeoutError("lane deadline")
+        q_pserve, Qp = build_serving_batch(
+            model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
+            Q=8, n_samples=100, w_coll=5e-2, n_guide_steps=15,
+        )
+        q_pserve(jrandom.PRNGKey(0))
+        ts = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            q_pserve(jrandom.PRNGKey(1 + i))
+            ts.append(time.perf_counter() - t0)
+        t_q = float(np.median(ts)) / Qp
+        panda_serving = {
+            "panda_serving_p50_s_per_query": round(t_q, 5),
+            "panda_serving_queries_per_sec": round(1.0 / t_q, 1),
+            "panda_serving_batch_queries": Qp,
+        }
+        log(f"Panda serving: {t_q*1e3:.1f} ms/query amortized"
+            f" ({1.0/t_q:.0f} queries/s)")
+    except Exception as e:
+        log(f"Panda serving lane skipped: {e}")
+
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
     out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
@@ -369,6 +418,7 @@ def main():
         **ddim_lane,
         **panda,
         **serving,
+        **panda_serving,
     }
     if mfu_big is not None:
         out["mfu_large_batch"] = round(mfu_big, 4)
