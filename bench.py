@@ -143,24 +143,44 @@ def time_query(query, n_iters=10):
 # TPU v5e peak: 197 TFLOP/s bf16 (the MXU rate; XLA TPU runs f32 conv/matmul
 # multiplies in bf16 with f32 accumulation, so this is the relevant peak)
 V5E_PEAK_FLOPS = 197e12
+# TPU v5e HBM bandwidth: 819 GB/s. The guided sampler's conv channels
+# (32-256 over H=64) are far below the 128x128 MXU tile, so the workload is
+# memory-bound; HBM-roofline utilization is the meaningful efficiency metric
+# (MFU is reported too, but a low MFU on a BW-bound program is expected).
+V5E_PEAK_HBM_BYTES = 819e9
 
 
-def query_flops(jitted, *args):
-    """XLA's own FLOP count for the compiled program (cost_analysis)."""
+def query_cost(jitted, *args):
+    """XLA's own (flops, bytes accessed) for the compiled program."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
     except Exception as e:  # backend without cost analysis
         log(f"cost_analysis unavailable: {e}")
-        return float("nan")
+        return float("nan"), float("nan")
+
+
+def query_flops(jitted, *args):
+    return query_cost(jitted, *args)[0]
 
 
 def mfu(flops, seconds):
     if not np.isfinite(flops):
         return None
     return flops / seconds / V5E_PEAK_FLOPS
+
+
+def hbm_util(nbytes, seconds):
+    """Fraction of v5e HBM peak the program sustains (roofline check).
+
+    `bytes accessed` is XLA's static count of HBM traffic across fusions —
+    an upper bound on unique bytes, a fair estimate of streamed traffic."""
+    if not np.isfinite(nbytes):
+        return None
+    return nbytes / seconds / V5E_PEAK_HBM_BYTES
 
 
 def _load_planner(model_dir, n_samples, w_coll, n_guide_steps):
@@ -287,9 +307,10 @@ def main():
     q_big = build_query(B_big)
     t_big = time_query(q_big, n_iters=10)
     thpt = B_big / float(np.median(t_big))
-    fl_big = query_flops(q_big, jrandom.PRNGKey(0))
+    fl_big, by_big = query_cost(q_big, jrandom.PRNGKey(0))
     log(f"large-batch single dispatch: median {np.median(t_big)*1e3:.1f} ms"
-        f" -> {thpt:.0f} trajs/s (XLA {fl_big/1e9:.1f} GFLOP/query)")
+        f" -> {thpt:.0f} trajs/s (XLA {fl_big/1e9:.1f} GFLOP,"
+        f" {by_big/1e9:.1f} GB accessed /query)")
 
     # pipelined dispatch: K queries in flight amortize the per-call
     # host<->device round-trip; measured within 3% of the profiler's
@@ -312,8 +333,10 @@ def main():
     t_pipe = time_pipelined(q_big)
     thpt_pipe = B_big / t_pipe
     mfu_big = mfu(fl_big, t_pipe)
+    hbm_big = hbm_util(by_big, t_pipe)
     log(f"pipelined x{K}: {t_pipe*1e3:.1f} ms/query -> {thpt_pipe:.0f} trajs/s"
-        f" (MFU {100*(mfu_big or 0):.1f}%)")
+        f" (MFU {100*(mfu_big or 0):.1f}%,"
+        f" HBM roofline {100*(hbm_big or 0):.0f}%)")
 
     log("compiling DDIM fast lane (12 forwards vs 30)...")
     ddim_lane = {}
@@ -423,6 +446,9 @@ def main():
     if mfu_big is not None:
         out["mfu_large_batch"] = round(mfu_big, 4)
         out["xla_gflop_per_traj"] = round(fl_big / B_big / 1e9, 3)
+    if hbm_big is not None:
+        out["hbm_roofline_util_large_batch"] = round(hbm_big, 4)
+        out["xla_gbytes_per_query"] = round(by_big / 1e9, 2)
     print(json.dumps(out))
 
 

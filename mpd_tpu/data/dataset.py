@@ -44,6 +44,7 @@ class TrajectoryDataset:
         trajectories: Optional[np.ndarray] = None,
         env_id: Optional[str] = None,
         robot_id: Optional[str] = None,
+        robot_kwargs: Optional[dict] = None,
         **kwargs,
     ):
         """Load from `base_dir` (context subdirs with trajs-free.npy), or take
@@ -68,7 +69,9 @@ class TrajectoryDataset:
             self.args["obstacle_cutoff_margin"] = obstacle_cutoff_margin
 
         self.env = get_env(env_id, use_extra_objects=use_extra_objects)
-        self.robot = get_robot(robot_id)
+        # robot_kwargs e.g. {"n_spheres_per_segment": 3} to tighten the
+        # Panda validity oracle/guide independently of the stored dataset
+        self.robot = get_robot(robot_id, **(robot_kwargs or {}))
         self.task = PlanningTask(
             env=self.env,
             robot=self.robot,

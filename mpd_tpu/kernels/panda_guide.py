@@ -141,7 +141,8 @@ def make_panda_collision_grad(
 
         # ---- FK forward (scalar chain, shared with the custom VJP)
         origins, axes, axis_pts = _fk_scalar_chain(qi, jnp, want_axes=True)
-        cs = _centers_scalar(origins)  # n_spheres x [3]-lists
+        # n_spheres x [3]-lists, at the robot's collision-sphere density
+        cs = _centers_scalar(origins, robot.segment_fractions)
 
         # ---- per-sphere SDF min over obstacles + hinge backward.
         # Track the argmin obstacle's (unnormalized) offset while scanning

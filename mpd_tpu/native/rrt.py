@@ -21,7 +21,6 @@ from mpd_tpu.world.robots import (
     _ARM_SPHERE_RADIUS,
     _HAND_SPHERE_RADIUS,
     _PANDA_DH,
-    _SEGMENT_FRACTIONS,
 )
 
 _D = ctypes.POINTER(ctypes.c_double)
@@ -56,7 +55,9 @@ class _Marshalled:
             self.robot_type = 1
             self.point_radius = 0.0
             self.dh = np.ascontiguousarray(_PANDA_DH, np.float64)
-            self.fractions = np.ascontiguousarray(np.asarray(_SEGMENT_FRACTIONS), np.float64)
+            self.fractions = np.ascontiguousarray(
+                np.asarray(robot.segment_fractions), np.float64
+            )
             self.arm_r = float(_ARM_SPHERE_RADIUS)
             self.hand_r = float(_HAND_SPHERE_RADIUS)
         else:

@@ -99,9 +99,17 @@ _PANDA_Q_MAX = np.array(
 
 # Collision-sphere model: spheres are placed along the kinematic chain at
 # fixed interpolation fractions between consecutive frame origins (2 per
-# segment) plus a larger hand sphere at the flange. This tracks the arm's
-# swept volume closely while keeping a static sphere count.
+# segment by default) plus a larger hand sphere at the flange. This tracks
+# the arm's swept volume closely while keeping a static sphere count.
+# RobotPanda(n_spheres_per_segment=n) places n spheres per segment at
+# fractions (i + 0.5)/n — denser models tighten the validity oracle (the
+# default 2-sphere model leaves ~7 cm of uncovered chord on the longest
+# links; 3 per segment closes it) at a linear cost in guide/oracle FLOPs.
 _SEGMENT_FRACTIONS = (0.25, 0.75)
+
+
+def _segment_fractions(n: int):
+    return tuple((i + 0.5) / n for i in range(int(n)))
 _ARM_SPHERE_RADIUS = 0.06
 _HAND_SPHERE_RADIUS = 0.09
 
@@ -259,14 +267,14 @@ def _dot3(a, b):
     return _add(_m(a[0], b[0]), _m(a[1], b[1]), _m(a[2], b[2]))
 
 
-def _centers_scalar(origins):
+def _centers_scalar(origins, fractions=_SEGMENT_FRACTIONS):
     """Scalar-form sphere centers from scalar-form frame origins.
 
     Same layout as _panda_centers_from_origins: all segments at fraction
     u_0, then all at u_1, ..., then the hand sphere at the flange.
     """
     cs = []
-    for u in _SEGMENT_FRACTIONS:
+    for u in fractions:
         for seg in range(7):
             s_, e_ = origins[seg + 1], origins[seg + 2]
             cs.append(
@@ -276,42 +284,32 @@ def _centers_scalar(origins):
     return cs
 
 
-def _panda_centers_from_origins(origins, xp=jnp):
+def _panda_centers_from_origins(origins, xp=jnp, fractions=_SEGMENT_FRACTIONS):
     starts = origins[..., 1:-1, :]
     ends = origins[..., 2:, :]
-    centers = [starts + u * (ends - starts) for u in _SEGMENT_FRACTIONS]
+    centers = [starts + u * (ends - starts) for u in fractions]
     centers = xp.concatenate(centers, axis=-2)
     return xp.concatenate([centers, origins[..., -1:, :]], axis=-2)
-
-
-def _panda_sphere_joint_mask() -> np.ndarray:
-    """[S, 7] mask: sphere s depends on joint i iff i <= segment(s) (the
-    hand sphere depends on all joints). Exactness: each frame origin lies on
-    its parent joint's axis, so z_i x (c - o_i) vanishes for the upstream
-    endpoint of a segment and the naive formula is the true Jacobian."""
-    n_seg = 7
-    segs = list(range(n_seg)) * len(_SEGMENT_FRACTIONS) + [6]
-    mask = np.zeros((len(segs), 7), np.float32)
-    for s, j in enumerate(segs):
-        mask[s, : j + 1] = 1.0
-    return mask
-
-
-_PANDA_JOINT_MASK = _panda_sphere_joint_mask()
 
 
 def _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list):
     """Scalar-form backward: cotangents on sphere centers -> joint grads.
 
-    g_list: list of S [3]-lists of batch arrays (cotangent per center).
-    Revolute rule J[s, i] = mask * z_i x (c_s - o_i); instead of
+    g_list: list of S [3]-lists of batch arrays (cotangent per center),
+    in _centers_scalar layout (7 segments per fraction block, hand last —
+    the per-segment fraction count is recovered from len(g_list)).
+    Sphere s depends on joint i iff i <= segment(s); exactness: each frame
+    origin lies on its parent joint's axis, so z_i x (c - o_i) vanishes for
+    the upstream endpoint of a segment and the revolute rule
+    J[s, i] = z_i x (c_s - o_i) is the true Jacobian. Instead of
     materializing J, use g_s . (z_i x (c_s - o_i)) = z_i . (c_s x g_s)
     - z_i . (o_i x G) and the chain structure (joint i affects spheres on
     segments >= i): accumulate per-segment sums of (c x g) and g, then
     suffix-sum from the wrist down — O(S + 7) elementwise triples, no
     [S, 7, 3] tensor. Returns a list of 7 batch arrays (or trace-time 0.0).
     Shared by the custom VJP below and the Pallas guide megakernel."""
-    segs = list(range(7)) * len(_SEGMENT_FRACTIONS) + [6]
+    n_frac = (len(g_list) - 1) // 7
+    segs = list(range(7)) * n_frac + [6]
     seg_cg = [[0.0, 0.0, 0.0] for _ in range(7)]
     seg_g = [[0.0, 0.0, 0.0] for _ in range(7)]
     for s, seg in enumerate(segs):
@@ -331,23 +329,23 @@ def _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list):
     return grad_comps
 
 
-def _make_panda_sphere_positions_vjp():
+def _make_panda_sphere_positions_vjp(fractions=_SEGMENT_FRACTIONS):
     import jax
 
     @jax.custom_vjp
     def sphere_positions(q):
         origins, _, _ = _fk_scalar_chain(q, jnp)
-        return _stack_scalar_vectors(_centers_scalar(origins), q, jnp)
+        return _stack_scalar_vectors(_centers_scalar(origins, fractions), q, jnp)
 
     def fwd(q):
         origins, axes, axis_pts = _fk_scalar_chain(q, jnp, want_axes=True)
-        cs = _centers_scalar(origins)
+        cs = _centers_scalar(origins, fractions)
         centers = _stack_scalar_vectors(cs, q, jnp)
         return centers, (axes, axis_pts, cs)
 
     def bwd(res, g):
         axes, axis_pts, cs = res
-        n_spheres = 7 * len(_SEGMENT_FRACTIONS) + 1
+        n_spheres = 7 * len(fractions) + 1
         g_list = [[g[..., s, k] for k in range(3)] for s in range(n_spheres)]
         grad_comps = _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list)
         zero = jnp.zeros_like(g[..., 0, 0])
@@ -358,26 +356,42 @@ def _make_panda_sphere_positions_vjp():
     return sphere_positions
 
 
-_panda_sphere_positions_fast = None
+_panda_sphere_positions_cache = {}
 
 
-def panda_sphere_positions_fast(q):
+def panda_sphere_positions_fast(q, fractions=_SEGMENT_FRACTIONS):
     """Sphere centers with an analytic-Jacobian backward pass.
 
     The autodiff reverse sweep through the 8-step FK chain is ~100 tiny
     sequential ops and dominates guide-gradient cost on the Panda (measured:
     the guide is ~97% of a Panda planning query). The custom VJP replaces it
-    with one cross product + one einsum."""
-    global _panda_sphere_positions_fast
-    if _panda_sphere_positions_fast is None:
-        _panda_sphere_positions_fast = _make_panda_sphere_positions_vjp()
-    return _panda_sphere_positions_fast(q)
+    with one cross product + one einsum. Cached per fraction tuple so jit
+    sees one stable callable per collision-sphere density."""
+    fractions = tuple(fractions)
+    fn = _panda_sphere_positions_cache.get(fractions)
+    if fn is None:
+        fn = _panda_sphere_positions_cache[fractions] = (
+            _make_panda_sphere_positions_vjp(fractions)
+        )
+    return fn(q)
 
 
 class RobotPanda(RobotBase):
     name = "RobotPanda"
     q_dim = 7
     ws_dim = 3
+
+    def __init__(self, dt: float = 5.0 / 64, n_spheres_per_segment: int = 2):
+        """`n_spheres_per_segment` sets the collision-model density:
+        n spheres per kinematic segment at fractions (i + 0.5)/n (default 2
+        -> the historical (0.25, 0.75) model). Denser models cover more of
+        each link's chord (max uncovered gap = L/n - 2r per segment of
+        length L), tightening the validity oracle and the guide gradient at
+        a linear cost in FK/SDF work."""
+        if n_spheres_per_segment < 1:
+            raise ValueError("n_spheres_per_segment must be >= 1")
+        self.segment_fractions = _segment_fractions(n_spheres_per_segment)
+        super().__init__(dt=dt)
 
     def _q_limits(self):
         return _PANDA_Q_MIN.tolist(), _PANDA_Q_MAX.tolist()
@@ -394,18 +408,18 @@ class RobotPanda(RobotBase):
 
         Segments between consecutive frame origins (skipping the base->frame1
         column, which cannot reach workspace obstacles) carry
-        len(_SEGMENT_FRACTIONS) spheres each; the flange carries one.
+        len(self.segment_fractions) spheres each; the flange carries one.
         The jnp path uses the analytic-Jacobian custom VJP (see
         panda_sphere_positions_fast).
         """
         if xp is jnp:
-            return panda_sphere_positions_fast(q)
+            return panda_sphere_positions_fast(q, self.segment_fractions)
         origins = _panda_frame_origins(q, xp)  # [..., 9, 3]
-        return _panda_centers_from_origins(origins, xp)
+        return _panda_centers_from_origins(origins, xp, self.segment_fractions)
 
     @property
     def collision_sphere_radii(self) -> np.ndarray:
-        n_seg_spheres = 7 * len(_SEGMENT_FRACTIONS)
+        n_seg_spheres = 7 * len(self.segment_fractions)
         radii = np.full((n_seg_spheres + 1,), _ARM_SPHERE_RADIUS, dtype=np.float32)
         radii[-1] = _HAND_SPHERE_RADIUS
         return radii

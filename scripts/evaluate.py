@@ -63,6 +63,9 @@ def main():
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bf16", action="store_true",
                    help="run the eps-model in bfloat16 (params + activations)")
+    p.add_argument("--spheres-per-segment", type=int, default=None,
+                   help="Panda collision-sphere density (default 2/segment);"
+                        " higher tightens the validity oracle + guide")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -82,11 +85,15 @@ def main():
     with open(os.path.join(args.model_dir, "args.yaml")) as f:
         margs = yaml.safe_load(f)
 
+    robot_kwargs = {}
+    if args.spheres_per_segment is not None:
+        robot_kwargs["n_spheres_per_segment"] = args.spheres_per_segment
     ds = TrajectoryDataset(
         base_dir=margs["data_dir"],
         include_velocity=margs["include_velocity"],
         use_extra_objects=bool(args.use_extra_objects),
         obstacle_cutoff_margin=0.05,
+        robot_kwargs=robot_kwargs,
     )
     tn = margs.get("traj_normalizer")
     if tn and tn.get("mins") is not None:

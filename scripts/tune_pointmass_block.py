@@ -1,29 +1,25 @@
+#!/usr/bin/env python
 """Sweep the 2D guide megakernel's batch blocking (block_b) on the chip.
 
-Standalone kernel timing (not the full query): builds the EnvDense2D
-ExtraObjects guide-gradient kernel at B=4096 for each block size and
-reports the pipelined per-call time. The [bb, H] @ [H, N] interpolation
-matmuls underfill the 128x128 MXU tile below bb=128, so larger blocks
-should amortize both the MXU tile and the per-program overhead.
+The kernel (kernels/pointmass_guide.py) defaults to block_b=32 at B>=256
+(grid 128 at the bench's B=4096 operating point) — ROADMAP notes this is
+untuned. Measures the kernel in isolation, pipelined (amortized dispatch,
+the only trustworthy wall timing through the tunneled backend).
 
-Usage: python scripts/tune_pointmass_block.py [--batch 4096]
+Usage: python scripts/tune_pointmass_block.py [B ...]
 """
 
-import argparse
+import os
+import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mpd_tpu.core import setup_runtime
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--horizon", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=50)
-    ap.add_argument("--blocks", type=int, nargs="*",
-                    default=[32, 64, 128, 256, 512])
-    args = ap.parse_args()
-
+    setup_runtime()
     import jax
     import jax.numpy as jnp
 
@@ -32,33 +28,31 @@ def main():
 
     env = get_env("EnvDense2D", use_extra_objects=True)
     robot = get_robot("RobotPointMass")
-    field = env.objects
 
-    key = jax.random.PRNGKey(0)
-    q = jax.random.uniform(
-        key, (args.batch, args.horizon, 2), minval=-1.0, maxval=1.0
-    )
-    q = jax.device_put(q)
+    batches = [int(a) for a in sys.argv[1:]] or [4096]
+    H = 64
+    K = 50  # dispatches per timing round
 
-    results = {}
-    for bb in args.blocks:
-        fn = make_pointmass_collision_grad(
-            robot, field, margin=0.03, sigma=1.0, block_b=bb
-        )
-        f = jax.jit(fn)
-        g = f(q)
-        g.block_until_ready()  # compile
-        # pipelined: enqueue reps calls, block once (amortizes dispatch)
-        t0 = time.perf_counter()
-        outs = [f(q) for _ in range(args.reps)]
-        outs[-1].block_until_ready()
-        dt = (time.perf_counter() - t0) / args.reps
-        results[bb] = dt
-        print(f"block_b={bb:4d}: {dt*1e6:8.1f} us/call "
-              f"({args.batch/dt/1e6:.1f}M traj-grads/s)")
-
-    best = min(results, key=results.get)
-    print(f"best: block_b={best} at {results[best]*1e6:.1f} us/call")
+    for B in batches:
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, 2)) * 0.8
+        print(f"B={B}", flush=True)
+        for bb in (16, 32, 64, 128, 256, 512):
+            if bb > B:
+                continue
+            fn = make_pointmass_collision_grad(
+                robot, env.objects, margin=0.05, sigma=1.0, block_b=bb
+            )
+            f = jax.jit(fn)
+            out = jax.block_until_ready(f(q))  # compile
+            # checksum so all variants are verified identical
+            s = float(jnp.sum(jnp.abs(out)))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready([f(q) for _ in range(K)])
+                best = min(best, (time.perf_counter() - t0) / K)
+            print(f"  block_b={bb:4d} grid={B // bb:4d}: {best * 1e6:8.1f} us/call"
+                  f"  (checksum {s:.4f})", flush=True)
 
 
 if __name__ == "__main__":

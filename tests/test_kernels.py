@@ -51,13 +51,13 @@ def test_fused_unet_matches_flax_full_size():
 # Panda collision-guide megakernel (kernels/panda_guide.py)
 # ---------------------------------------------------------------------------
 
-def _panda_collision_setup(num_interp=32):
+def _panda_collision_setup(num_interp=32, **robot_kwargs):
     from mpd_tpu.world.envs import get_env
     from mpd_tpu.world.robots import get_robot
     from mpd_tpu.costs.cost_functions import CostCollision
 
     env = get_env("EnvSpheres3D")
-    robot = get_robot("RobotPanda")
+    robot = get_robot("RobotPanda", **robot_kwargs)
     H = 16
     cost = CostCollision(
         robot, H, field=env.objects, sigma_coll=1.0, cutoff_margin=0.03
@@ -91,6 +91,33 @@ def test_panda_collision_grad_matches_autodiff():
         np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-6
     )
     # the cost actually has active hinge terms (test isn't vacuously 0 == 0)
+    assert float(jnp.abs(ref).max()) > 0
+
+
+def test_panda_collision_grad_density3_matches_autodiff():
+    """Kernel parity at the denser 3-spheres-per-segment collision model
+    (RobotPanda(n_spheres_per_segment=3)): the scalar FK/backward helpers
+    and the kernel must honor the robot's fraction tuple, not the default."""
+    from mpd_tpu.world.task import interpolate_points
+
+    robot, cost, x_phys, num_interp = _panda_collision_setup(
+        n_spheres_per_segment=3
+    )
+    assert len(robot.collision_sphere_radii) == 3 * 7 + 1
+
+    def total_cost(x):
+        return jnp.sum(cost(x, interpolate_points(x, num_interp)))
+
+    ref = jax.grad(total_cost)(x_phys)
+    fused_fn = cost.make_fused_interp_gradient(num_interp, interpret=True)
+    assert fused_fn is not None
+    fused = fused_fn(x_phys)
+    # atol looser than the density-2 test: 22 spheres accumulate ~2e-5 of
+    # f32 roundoff against grads of magnitude ~3 (verified: identical math,
+    # max |err| 1.7e-5 at 5e-6 relative)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=5e-5
+    )
     assert float(jnp.abs(ref).max()) > 0
 
 

@@ -152,6 +152,43 @@ def test_task_validity_and_metrics():
     np.testing.assert_allclose(np.asarray(pl), [1.8], atol=1e-5)
 
 
+def test_panda_sphere_density_option():
+    """RobotPanda(n_spheres_per_segment=3): 22 spheres, centers on the
+    segment chords at fractions (i+0.5)/3, custom VJP matches autodiff."""
+    from mpd_tpu.world.robots import (
+        RobotPanda,
+        _panda_centers_from_origins,
+        _panda_frame_origins,
+    )
+
+    robot = RobotPanda(n_spheres_per_segment=3)
+    assert robot.segment_fractions == (0.5 / 3, 1.5 / 3, 2.5 / 3)
+    assert robot.collision_sphere_radii.shape == (22,)
+
+    q = jax.random.uniform(jax.random.PRNGKey(0), (4, 7),
+                           minval=robot.q_min, maxval=robot.q_max)
+    c_fast = robot.collision_sphere_positions(q)
+    assert c_fast.shape == (4, 22, 3)
+    c_ref = _panda_centers_from_origins(
+        _panda_frame_origins(q, jnp), jnp, robot.segment_fractions
+    )
+    np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ref), atol=1e-6)
+    # numpy path agrees too
+    c_np = robot.collision_sphere_positions(np.asarray(q), xp=np)
+    np.testing.assert_allclose(np.asarray(c_fast), c_np, atol=1e-5)
+
+    w = jax.random.normal(jax.random.PRNGKey(1), c_ref.shape)
+    g_fast = jax.grad(
+        lambda qq: jnp.sum(jnp.sin(robot.collision_sphere_positions(qq)) * w)
+    )(q)
+    g_auto = jax.grad(
+        lambda qq: jnp.sum(jnp.sin(_panda_centers_from_origins(
+            _panda_frame_origins(qq, jnp), jnp, robot.segment_fractions)) * w)
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_panda_analytic_jacobian_matches_autodiff():
     """The custom-VJP fast path (revolute-joint rule z_i x (c - o_i)) must
     reproduce autodiff through the FK chain."""
