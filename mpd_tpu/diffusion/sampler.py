@@ -230,6 +230,7 @@ def run_ddim_sampling(
     extra_refine_steps: int = 0,
     times: Optional[Sequence[int]] = None,
     refine_noise_std: float = 0.0,
+    refine_anneal_t: int = 0,
 ):
     """DDIM sampling (ref diffusion_model_base.py:184-259).
 
@@ -316,21 +317,47 @@ def run_ddim_sampling(
         chain.append(x)
 
     if extra_refine_steps > 0:
-        t0 = jnp.zeros((b,), dtype=jnp.int32)
-        # exploration noise for the refinement tail: the DDPM chain's
-        # collision-fixing power comes from its guided-but-still-noisy steps
-        # at t < t_start_guide (posterior_std(t) perturbations between guide
-        # applications); noiseless refinement gets stuck in whatever basin
-        # the DDIM chain lands in. posterior_std[1] is the smallest
-        # non-degenerate noise level of the schedule (std[0] is clipped to
-        # ~1e-10), matching the last noisy DDPM step's scale.
+        S = extra_refine_steps
+        if refine_anneal_t > 0:
+            # Annealed re-noise tail: refine step j re-noises the current
+            # x0 estimate to timestep t_j (linear anneal refine_anneal_t
+            # -> 0) via the forward kernel x_t = sqrt(acp_t) x0 +
+            # sqrt(1-acp_t) eps, then denoises AT t_j and applies the
+            # guide. Rationale: the constant-noise knob below perturbs at
+            # posterior_std[1] ~ 8e-3, which is negligible against [-1,1]
+            # trajectories (measured quality-neutral); re-noising to t=4-6
+            # perturbs at sqrt(1-acp_t) ~ 0.04-0.05 with a denoise step
+            # that is *matched* to that noise level, so the tail explores
+            # basins the way the DDPM chain's guided window does. The last
+            # step has t=0 (noiseless, acp_0 ~ 1-1e-4) so the chain still
+            # converges deterministically.
+            t_js = [
+                int(round(refine_anneal_t * (1.0 - j / max(S - 1, 1))))
+                for j in range(S)
+            ]
+        else:
+            t_js = [0] * S
+        # exploration noise for the refinement tail (legacy constant form):
+        # posterior_std[1] is the smallest non-degenerate noise level of the
+        # schedule (std[0] is clipped to ~1e-10), matching the last noisy
+        # DDPM step's scale.
         sigma0 = refine_noise_std * schedule.posterior_std[1]
 
-        def refine(carry, _):
+        def refine(carry, t_j):
             x, k = carry
-            model_out = eps_fn(x, t0)
+            tb = jnp.full((b,), t_j, dtype=jnp.int32)
+            if refine_anneal_t > 0:
+                k, sub = jax.random.split(k)
+                acp = schedule.alphas_cumprod[t_j]
+                x = jnp.sqrt(acp) * x + jnp.sqrt(
+                    jnp.maximum(1.0 - acp, 0.0)
+                ) * jnp.where(
+                    t_j > 0, 1.0, 0.0
+                ) * jax.random.normal(sub, x.shape, x.dtype)
+                x = apply_hard_conditioning(x, hard_conds)
+            model_out = eps_fn(x, tb)
             x_start = predict_start_from_noise(
-                schedule, x, t0, model_out, cfg.predict_epsilon
+                schedule, x, tb, model_out, cfg.predict_epsilon
             )
             if cfg.clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
@@ -347,7 +374,7 @@ def run_ddim_sampling(
             return (x_start, k), (x_start if return_chain else None)
 
         (x, _), ys = jax.lax.scan(
-            refine, (x, key), None, length=extra_refine_steps
+            refine, (x, key), jnp.asarray(t_js, dtype=jnp.int32)
         )
         if return_chain:
             chain.extend(list(ys))

@@ -74,6 +74,10 @@ class PlannerConfig:
     # exploration noise (in units of the schedule's smallest noisy-step
     # std) injected between ddim_refine_steps — see run_ddim_sampling
     ddim_refine_noise_std: float = 0.0
+    # annealed re-noise tail: refine step j re-noises to timestep
+    # t_j (linear anneal from this value down to 0) and denoises at t_j —
+    # see run_ddim_sampling(refine_anneal_t=...)
+    ddim_refine_anneal_t: int = 0
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
     # the backend is a real TPU and no mesh is set; "on"/"interpret"/"off"
     # force — see kernels/{panda,pointmass}_guide.py). Covers Panda in
@@ -226,6 +230,7 @@ class MotionPlanner:
                     extra_refine_steps=config.ddim_refine_steps,
                     times=config.ddim_times, eta=config.ddim_eta,
                     refine_noise_std=config.ddim_refine_noise_std,
+                    refine_anneal_t=config.ddim_refine_anneal_t,
                 )
             else:
                 x_final, chain = run_sampling(
@@ -326,6 +331,7 @@ class MotionPlanner:
                     extra_refine_steps=config.ddim_refine_steps,
                     times=config.ddim_times, eta=config.ddim_eta,
                     refine_noise_std=config.ddim_refine_noise_std,
+                    refine_anneal_t=config.ddim_refine_anneal_t,
                 )
             else:
                 x_final = run_sampling(

@@ -51,6 +51,10 @@ def main():
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
+    p.add_argument("--ddim-refine-anneal-t", type=int, default=0,
+                   help="annealed re-noise tail: refine step j re-noises to "
+                        "timestep t_j (linear from this value down to 0) and "
+                        "denoises at t_j (0 = refine at t=0 only)")
     p.add_argument("--batch-queries", type=int, default=0,
                    help=">0: plan this many queries per device call "
                         "(MotionPlanner.plan_batch serving path); per-query "
@@ -129,6 +133,7 @@ def main():
                         if args.ddim_times else None),
             ddim_eta=args.ddim_eta,
             ddim_refine_noise_std=args.ddim_refine_noise_std,
+            ddim_refine_anneal_t=args.ddim_refine_anneal_t,
             fused_collision_guide=args.fused_collision,
         ),
     )

@@ -269,3 +269,34 @@ def test_ddim_eta_and_refine_noise(setup):
         assert float(jnp.abs(x).max()) < 3.0
         np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
+
+
+def test_ddim_refine_anneal_tail(setup):
+    """refine_anneal_t>0: the tail re-noises to an annealed timestep and
+    denoises there — output differs from the t=0-only tail, stays finite,
+    bounded and pinned; two keys give different (exploring) outputs."""
+    from mpd_tpu.diffusion import run_ddim_sampling
+
+    net, params, sched, H, D = setup
+    B = 4
+    eps_fn = lambda x, t: net.apply(params, x, t)
+    conds = {0: jnp.zeros((B, D)), H - 1: jnp.ones((B, D)) * 0.3}
+    cfg = SamplerConfig(t_start_guide=-(10**9))
+
+    def run(k, anneal):
+        return run_ddim_sampling(
+            sched, eps_fn, k, (B, H, D), conds, cfg,
+            extra_refine_steps=4, refine_anneal_t=anneal,
+        )
+
+    key = jax.random.PRNGKey(0)
+    x_plain = jax.jit(lambda k: run(k, 0))(key)
+    x_ann = jax.jit(lambda k: run(k, 6))(key)
+    assert float(jnp.abs(x_ann - x_plain).max()) > 1e-4
+    x_ann2 = jax.jit(lambda k: run(k, 6))(jax.random.PRNGKey(1))
+    assert float(jnp.abs(x_ann2 - x_ann).max()) > 1e-5
+    for x in (x_ann, x_ann2):
+        assert np.isfinite(np.asarray(x)).all()
+        assert float(jnp.abs(x).max()) < 3.0
+        np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
