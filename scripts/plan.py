@@ -41,6 +41,8 @@ def main():
     p.add_argument("--results-dir", default=None)
     p.add_argument("--n-queries", type=int, default=1)
     p.add_argument("--use-ddim", action="store_true")
+    p.add_argument("--ddim-refine-anneal-t", type=int, default=0,
+                   help="annealed re-noise refine tail (see evaluate.py)")
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
@@ -119,6 +121,7 @@ def main():
             trajectory_duration=args.trajectory_duration,
             use_ddim=args.use_ddim,
             ddim_refine_steps=args.ddim_refine_steps,
+            ddim_refine_anneal_t=args.ddim_refine_anneal_t,
         ),
     )
 
