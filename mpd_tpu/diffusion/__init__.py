@@ -1,6 +1,8 @@
 from mpd_tpu.diffusion.schedules import (
     DiffusionSchedule,
     make_schedule,
+    respaced_schedule,
+    respace_schedule_tables,
     linear_betas,
     quadratic_betas,
     sigmoid_betas,
@@ -23,5 +25,6 @@ from mpd_tpu.diffusion.sampler import (
     ddpm_sample_step,
     run_sampling,
     run_ddim_sampling,
+    respace_eps_fn,
     guide_gradient_steps,
 )

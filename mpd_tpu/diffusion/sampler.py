@@ -80,6 +80,22 @@ def guide_gradient_steps(
     return x
 
 
+def respace_eps_fn(eps_fn: EpsFn, times) -> EpsFn:
+    """Remap subsequence indices -> original timesteps for the eps model.
+
+    A respaced chain (schedules.respaced_schedule) runs over indices
+    j = 0..S-1, but the eps model was trained on the BASE schedule's
+    timestep embeddings — it must be queried at t = times[j]. `times` is
+    static; the gather is a [S]-table lookup on the traced index vector.
+    """
+    t_map = jnp.asarray(np.asarray(times, dtype=np.int32))
+
+    def eps(x, t):
+        return eps_fn(x, t_map[t])
+
+    return eps
+
+
 def ddpm_sample_step(
     schedule: DiffusionSchedule,
     eps_fn: EpsFn,

@@ -114,7 +114,71 @@ def make_schedule(
     # sqrt/recip tables stay finite. The final step remains fully destructive
     # (alpha_bar_T ~ 1e-8), matching the reference's effective behavior.
     betas = np.clip(betas, 0.0, 1.0 - 1e-7)
+    return _tables_from_betas(betas, dtype)
 
+
+def respaced_schedule(
+    variance_schedule: str = "exponential",
+    n_steps: int = 25,
+    times=(),
+    dtype=jnp.float32,
+    **schedule_kwargs,
+):
+    """Respaced (strided) DDPM schedule over a timestep subsequence.
+
+    Nichol & Dhariwal's respacing construction (improved-diffusion): pick a
+    subsequence t_0 < ... < t_{S-1} of the base schedule's timesteps and
+    define a NEW S-step DDPM whose marginals match the base chain at those
+    times — new_beta_j = 1 - acp[t_j] / acp[t_{j-1}] so the respaced
+    alphas_cumprod telescopes to exactly acp[times]. Running the standard
+    reverse-DDPM chain on the respaced tables (with the eps model queried at
+    the ORIGINAL timesteps, see sampler.respace_eps_fn) is then a stochastic
+    fast lane: the posterior noise that gives guided DDPM its candidate
+    diversity is preserved, at the DDIM lane's eps-forward count. No
+    reference counterpart (the reference's only fast path is deterministic
+    DDIM, ref diffusion_model_base.py:184-259).
+
+    Returns (schedule, times) with 0 and n_steps-1 forced into `times`.
+    """
+    if variance_schedule not in _SCHEDULES:
+        raise ValueError(
+            f"unknown variance schedule {variance_schedule!r}; "
+            f"available: {sorted(_SCHEDULES)}"
+        )
+    betas_full = np.clip(
+        _SCHEDULES[variance_schedule](n_steps, **schedule_kwargs),
+        0.0, 1.0 - 1e-7,
+    )
+    return _respace_betas(betas_full, times, dtype)
+
+
+def respace_schedule_tables(
+    schedule: "DiffusionSchedule", times, dtype=jnp.float32
+):
+    """Respaced tables from an existing schedule's beta table.
+
+    Same construction as `respaced_schedule` but starting from a built
+    DiffusionSchedule (whose float32 betas carry full relative precision;
+    the cumprod is redone in float64). Returns (schedule, times)."""
+    return _respace_betas(
+        np.asarray(schedule.betas, np.float64), times, dtype
+    )
+
+
+def _respace_betas(betas_full: np.ndarray, times, dtype):
+    n_steps = len(betas_full)
+    times = sorted({int(t) for t in times} | {0, n_steps - 1})
+    if times[0] < 0 or times[-1] > n_steps - 1:
+        raise ValueError(f"times {times} outside [0, {n_steps - 1}]")
+    acp = np.cumprod(1.0 - betas_full)
+    acp_sub = acp[np.asarray(times)]
+    acp_prev = np.concatenate([[1.0], acp_sub[:-1]])
+    betas_sub = 1.0 - acp_sub / acp_prev
+    return _tables_from_betas(betas_sub, dtype), tuple(times)
+
+
+def _tables_from_betas(betas: np.ndarray, dtype) -> DiffusionSchedule:
+    """Derive the full 13-entry coefficient table from float64 betas."""
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas)
     alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])

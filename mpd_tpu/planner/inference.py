@@ -32,8 +32,13 @@ from mpd_tpu.costs.guide import (
     GuideTrajectoriesWithVelocity,
 )
 from mpd_tpu.diffusion.gaussian_diffusion import HardConds
-from mpd_tpu.diffusion.sampler import SamplerConfig, run_ddim_sampling, run_sampling
-from mpd_tpu.diffusion.schedules import DiffusionSchedule
+from mpd_tpu.diffusion.sampler import (
+    SamplerConfig,
+    respace_eps_fn,
+    run_ddim_sampling,
+    run_sampling,
+)
+from mpd_tpu.diffusion.schedules import DiffusionSchedule, respace_schedule_tables
 from mpd_tpu.data.dataset import TrajectoryDataset
 from mpd_tpu.world.task import compute_path_length, compute_smoothness
 
@@ -78,6 +83,14 @@ class PlannerConfig:
     # t_j (linear anneal from this value down to 0) and denoises at t_j —
     # see run_ddim_sampling(refine_anneal_t=...)
     ddim_refine_anneal_t: int = 0
+    # respaced-DDPM fast lane (schedules.respaced_schedule): the standard
+    # stochastic DDPM chain run over a timestep subsequence — the DDIM
+    # lane's eps-forward count with DDPM's posterior-noise candidate
+    # diversity. Mutually exclusive with use_ddim. respaced_times=None
+    # uses the DDIM serving lane's subsequence (3 guided noisy steps in
+    # the t<7 window + the n_extra noiseless tail).
+    use_respaced: bool = False
+    respaced_times: Optional[Tuple[int, ...]] = None
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
     # the backend is a real TPU and no mesh is set; "on"/"interpret"/"off"
     # force — see kernels/{panda,pointmass}_guide.py). Covers Panda in
@@ -204,6 +217,33 @@ class MotionPlanner:
         )
         self._t_start_guide = t_start_guide
 
+        # respaced-DDPM lane: swap in the subsequence tables and move the
+        # guide window to subsequence indices covering the SAME original-t
+        # window (t < t_start_guide); the eps model is queried at original
+        # timesteps via respace_eps_fn inside the compiled query
+        self._respaced_times = None
+        if config.use_respaced:
+            if config.use_ddim:
+                raise ValueError("use_ddim and use_respaced are mutually exclusive")
+            times = config.respaced_times or (0, 3, 6, 8, 11, 14, 17, 19, 22, 24)
+            sub_schedule, times = respace_schedule_tables(schedule, times)
+            idx_start_guide = sum(1 for t in times if t < t_start_guide)
+            nse = config.noise_std_extra
+            self.sampler_cfg = dataclasses.replace(
+                self.sampler_cfg,
+                t_start_guide=idx_start_guide,
+                # a schedule fn of t expects ORIGINAL timesteps
+                noise_std_extra=(
+                    (lambda t, _nse=nse, _tm=tuple(times): _nse(_tm[int(t)]))
+                    if callable(nse)
+                    else nse
+                ),
+            )
+            self._respaced_times = times
+            self._run_schedule = sub_schedule
+        else:
+            self._run_schedule = schedule
+
         use_guide_in_chain = config.planner_alg == "mpd"
 
         B, D = config.n_samples, dataset.state_dim
@@ -233,8 +273,10 @@ class MotionPlanner:
                     refine_anneal_t=config.ddim_refine_anneal_t,
                 )
             else:
+                if self._respaced_times is not None:
+                    step_eps_fn = respace_eps_fn(step_eps_fn, self._respaced_times)
                 x_final, chain = run_sampling(
-                    schedule, step_eps_fn, key, (B, H, D), hard_conds,
+                    self._run_schedule, step_eps_fn, key, (B, H, D), hard_conds,
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
                 )
             if n_post_steps:
@@ -310,6 +352,7 @@ class MotionPlanner:
         H, D = dataset.n_support_points, dataset.state_dim
         B = config.n_samples
         schedule, eps_fn = self.schedule, self.eps_fn
+        run_schedule, respaced_times = self._run_schedule, self._respaced_times
         guide, sampler_cfg = self.guide, self.sampler_cfg
         use_guide_in_chain = config.planner_alg == "mpd"
         n_post_steps = self._n_post_steps
@@ -334,8 +377,10 @@ class MotionPlanner:
                     refine_anneal_t=config.ddim_refine_anneal_t,
                 )
             else:
+                if respaced_times is not None:
+                    step_eps_fn = respace_eps_fn(step_eps_fn, respaced_times)
                 x_final = run_sampling(
-                    schedule, step_eps_fn, key, shape, hard_conds,
+                    run_schedule, step_eps_fn, key, shape, hard_conds,
                     sampler_cfg, guide_fn=guide_fn,
                 )
             if n_post_steps:

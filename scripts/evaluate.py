@@ -55,6 +55,13 @@ def main():
                    help="annealed re-noise tail: refine step j re-noises to "
                         "timestep t_j (linear from this value down to 0) and "
                         "denoises at t_j (0 = refine at t=0 only)")
+    p.add_argument("--use-respaced", action="store_true",
+                   help="respaced-DDPM fast lane: stochastic DDPM chain over "
+                        "a timestep subsequence (DDIM's eps-forward count "
+                        "with DDPM's posterior-noise diversity)")
+    p.add_argument("--respaced-times", default=None,
+                   help="comma-separated respaced timestep subsequence; "
+                        "default: the DDIM serving lane's 10 times")
     p.add_argument("--batch-queries", type=int, default=0,
                    help=">0: plan this many queries per device call "
                         "(MotionPlanner.plan_batch serving path); per-query "
@@ -134,6 +141,9 @@ def main():
             ddim_eta=args.ddim_eta,
             ddim_refine_noise_std=args.ddim_refine_noise_std,
             ddim_refine_anneal_t=args.ddim_refine_anneal_t,
+            use_respaced=args.use_respaced,
+            respaced_times=(tuple(int(t) for t in args.respaced_times.split(","))
+                            if args.respaced_times else None),
             fused_collision_guide=args.fused_collision,
         ),
     )

@@ -46,6 +46,8 @@ def main():
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
+    p.add_argument("--use-respaced", action="store_true",
+                   help="respaced-DDPM fast lane (see evaluate.py)")
     p.add_argument("--n-devices", type=int, default=0,
                    help=">1: shard the candidate batch over the first N "
                         "devices (params replicated; best-plan argmin is "
@@ -122,6 +124,7 @@ def main():
             use_ddim=args.use_ddim,
             ddim_refine_steps=args.ddim_refine_steps,
             ddim_refine_anneal_t=args.ddim_refine_anneal_t,
+            use_respaced=args.use_respaced,
         ),
     )
 

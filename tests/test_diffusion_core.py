@@ -160,3 +160,105 @@ def test_noise_std_extra_schedule_fn_matches_constant():
 
     x_decay = run(lambda t: 0.5 * t / sched.n_steps)
     assert not np.allclose(np.asarray(x_const), np.asarray(x_decay))
+
+
+def test_respaced_schedule_marginals_match_base():
+    """Respacing must preserve the base chain's marginals: the respaced
+    alphas_cumprod telescopes to exactly acp[times], and respacing over ALL
+    timesteps reproduces the base tables."""
+    from mpd_tpu.diffusion import respaced_schedule
+
+    base = make_schedule("exponential", 25)
+    times = (0, 3, 6, 8, 11, 14, 17, 19, 22, 24)
+    sub, times_out = respaced_schedule("exponential", 25, times=times)
+    assert times_out == times
+    assert sub.n_steps == len(times)
+    np.testing.assert_allclose(
+        np.asarray(sub.alphas_cumprod),
+        np.asarray(base.alphas_cumprod)[list(times)],
+        rtol=1e-6,
+    )
+    full, _ = respaced_schedule("exponential", 25, times=range(25))
+    for name in base._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(full, name)), np.asarray(getattr(base, name)),
+            rtol=2e-5, atol=1e-7, err_msg=name,
+        )
+
+
+def test_respace_schedule_tables_from_built_schedule():
+    """The DiffusionSchedule-based entry point (used by MotionPlanner) must
+    agree with the name-based one. The final (fully destructive) timestep is
+    compared loosely: the built schedule's float32 beta[T-1] = 1 - 1e-7
+    round-trips 1-beta with ~20% error, which only perturbs the
+    acp[T-1] ~ 1e-8 tail entries — behaviorally irrelevant (x0_hat is
+    clamped and the step destroys all signal either way)."""
+    from mpd_tpu.diffusion import respace_schedule_tables, respaced_schedule
+
+    base = make_schedule("exponential", 25)
+    times = (0, 5, 12, 24)
+    a, _ = respaced_schedule("exponential", 25, times=times)
+    b, _ = respace_schedule_tables(base, times)
+    for name in base._fields:
+        va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        np.testing.assert_allclose(
+            va[:-1], vb[:-1], rtol=2e-5, atol=1e-7, err_msg=name
+        )
+        np.testing.assert_allclose(
+            va[-1], vb[-1], rtol=0.25, err_msg=f"{name}[-1]"
+        )
+
+
+def test_respace_eps_fn_maps_indices_to_original_timesteps():
+    from mpd_tpu.diffusion import respace_eps_fn
+
+    seen = []
+
+    def eps_fn(x, t):
+        seen.append(np.asarray(t))
+        return jnp.zeros_like(x)
+
+    wrapped = respace_eps_fn(eps_fn, (0, 3, 6, 24))
+    x = jnp.zeros((2, 4, 2))
+    wrapped(x, jnp.asarray([2, 2], jnp.int32))
+    wrapped(x, jnp.asarray([0, 3], jnp.int32))
+    np.testing.assert_array_equal(seen[0], [6, 6])
+    np.testing.assert_array_equal(seen[1], [0, 24])
+
+
+def test_respaced_sampling_full_times_matches_base(sched):
+    """Respacing over all timesteps is the identity: same key, same chain."""
+    from mpd_tpu.diffusion import respace_eps_fn, respaced_schedule
+
+    B, H, D = 3, 8, 2
+    conds = {0: jnp.zeros(D), H - 1: jnp.ones(D) * 0.25}
+    cfg = SamplerConfig(n_extra_steps=3, t_start_guide=-(10**9))
+    eps_fn = lambda x, t: 0.1 * x
+    sub, times = respaced_schedule("exponential", 25, times=range(25))
+    x_base = run_sampling(sched, eps_fn, jax.random.PRNGKey(3), (B, H, D), conds, cfg)
+    x_resp = run_sampling(
+        sub, respace_eps_fn(eps_fn, times), jax.random.PRNGKey(3), (B, H, D),
+        conds, cfg,
+    )
+    np.testing.assert_allclose(np.asarray(x_base), np.asarray(x_resp), atol=1e-5)
+
+
+def test_respaced_sampling_subsequence_pins_and_is_stochastic():
+    """A strict subsequence chain still pins endpoints, and distinct keys
+    give distinct samples (the lane's point: preserved posterior noise)."""
+    from mpd_tpu.diffusion import respace_eps_fn, respaced_schedule
+
+    B, H, D = 4, 8, 2
+    start, goal = jnp.zeros(D), jnp.ones(D) * 0.5
+    conds = {0: start, H - 1: goal}
+    cfg = SamplerConfig(n_extra_steps=5, t_start_guide=3)
+    eps_fn = lambda x, t: jnp.zeros_like(x)
+    sub, times = respaced_schedule(
+        "exponential", 25, times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24)
+    )
+    wrapped = respace_eps_fn(eps_fn, times)
+    x1 = run_sampling(sub, wrapped, jax.random.PRNGKey(0), (B, H, D), conds, cfg)
+    x2 = run_sampling(sub, wrapped, jax.random.PRNGKey(1), (B, H, D), conds, cfg)
+    np.testing.assert_allclose(np.asarray(x1[:, 0]), np.broadcast_to(start, (B, D)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x1[:, -1]), np.broadcast_to(goal, (B, D)), atol=1e-6)
+    assert float(jnp.abs(x1 - x2).max()) > 1e-3

@@ -154,3 +154,45 @@ def test_plan_batch_matches_single_query_and_pins():
             r.trajs_final[:, -1, :2],
             np.broadcast_to(np.asarray(goals[qi]), (4, 2)), atol=1e-5,
         )
+
+
+def test_planner_respaced_variant_pins_and_differs_across_keys():
+    """use_respaced runs the stochastic subsequence chain: endpoints pinned,
+    finite output, distinct keys give distinct candidate sets (the lane's
+    point vs deterministic DDIM), and combining with use_ddim raises."""
+    ds = TrajectoryDataset(
+        base_dir="unused",
+        trajectories=_toy_trajs(),
+        env_id="EnvSimple2D",
+        robot_id="RobotPointMass",
+        include_velocity=True,
+    )
+    net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16, dim_mults=(1, 2))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 4)), jnp.zeros((2,), jnp.int32))
+    planner = MotionPlanner(
+        ds, make_schedule("exponential", 25),
+        lambda p, x, t: net.apply(p, x, t), params=params,
+        config=PlannerConfig(n_samples=4, use_respaced=True),
+    )
+    # 10 subsequence times, 3 of them (0,3,6) inside the t<7 guide window
+    assert planner._run_schedule.n_steps == 10
+    assert planner.sampler_cfg.t_start_guide == 3
+    tr0 = np.asarray(ds.trajs[0])
+    start, goal = jnp.asarray(tr0[0, :2]), jnp.asarray(tr0[-1, :2])
+    r1 = planner.plan(jax.random.PRNGKey(1), start, goal)
+    r2 = planner.plan(jax.random.PRNGKey(2), start, goal)
+    assert np.isfinite(r1.trajs_final).all()
+    np.testing.assert_allclose(
+        r1.trajs_final[:, 0, :2], np.broadcast_to(np.asarray(start), (4, 2)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        r1.trajs_final[:, -1, :2], np.broadcast_to(np.asarray(goal), (4, 2)), atol=1e-5
+    )
+    assert np.abs(r1.trajs_final - r2.trajs_final).max() > 1e-3
+
+    with pytest.raises(ValueError):
+        MotionPlanner(
+            ds, make_schedule("exponential", 25),
+            lambda p, x, t: net.apply(p, x, t), params=params,
+            config=PlannerConfig(n_samples=4, use_respaced=True, use_ddim=True),
+        )
