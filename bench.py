@@ -19,6 +19,7 @@ plus lanes: DDIM fast path, Panda trained-checkpoint query (with MFU),
 and the plan_batch serving path (amortized per-query latency).
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -31,13 +32,17 @@ def log(*a):
 
 
 def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
-                fused="auto"):
+                respaced=False, fused="auto"):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane).
     With `ddim`, the fast lane: 10 DDIM subsequence steps + 5 guided refine
     steps (15 eps-model forwards vs the DDPM chain's 30; quality at this
     config: 1.00 success on all three 2D tasks at N=100 with fraction-free
-    within 0.03-0.09 of DDPM, RESULTS.md). Weights are randomly
+    within 0.03-0.09 of DDPM, RESULTS.md). With `respaced`, the stochastic
+    fast lane: the standard DDPM chain over the same 10-timestep
+    subsequence (also 15 forwards) — DDPM-level candidate diversity
+    (fraction-free within 0.02 of the full chain, RESULTS.md) at the DDIM
+    lane's cost; the serving-default recommendation. Weights are randomly
     initialized — the workload is compute-identical to a trained checkpoint
     (same program, same shapes); quality-bearing evals live in
     scripts/evaluate.py."""
@@ -54,6 +59,8 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
     from mpd_tpu.diffusion import (
         SamplerConfig,
         make_schedule,
+        respace_eps_fn,
+        respaced_schedule,
         run_ddim_sampling,
         run_sampling,
     )
@@ -112,6 +119,16 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
         hard_conds = shard_batch(mesh, hard_conds)
         params = replicate(mesh, params)
 
+    if respaced:
+        sub_schedule, times = respaced_schedule(
+            "exponential", schedule_steps,
+            times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
+        )
+        resp_eps = respace_eps_fn(eps_fn, times)
+        resp_cfg = dataclasses.replace(
+            cfg, t_start_guide=sum(1 for t in times if t < cfg.t_start_guide)
+        )
+
     @jax.jit
     def query(key):
         if ddim:
@@ -119,6 +136,9 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
                                      hard_conds, cfg, guide_fn=guide,
                                      extra_refine_steps=5,
                                      times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24))
+        if respaced:
+            return run_sampling(sub_schedule, resp_eps, key, (B, H, D),
+                                hard_conds, resp_cfg, guide_fn=guide)
         return run_sampling(schedule, eps_fn, key, (B, H, D), hard_conds,
                             cfg, guide_fn=guide)
 
@@ -352,6 +372,22 @@ def main():
     except Exception as e:
         log(f"DDIM lane skipped: {e}")
 
+    log("compiling respaced-DDPM fast lane (15 forwards, stochastic)...")
+    respaced_lane = {}
+    try:
+        if past_deadline("respaced"):
+            raise TimeoutError("lane deadline")
+        q_resp = build_query(B_big, respaced=True)
+        jax.block_until_ready([q_resp(k) for k in keys[:4]])
+        t_rs = time_pipelined(q_resp)
+        respaced_lane = {
+            "respaced_trajs_per_sec_pipelined": round(B_big / t_rs, 1)
+        }
+        log(f"respaced-10 pipelined: {t_rs*1e3:.1f} ms/query"
+            f" -> {B_big/t_rs:.0f} trajs/s")
+    except Exception as e:
+        log(f"respaced lane skipped: {e}")
+
     log("compiling reference-shaped query (B=50)...")
     q_ref = build_query(50)
     t_ref = time_query(q_ref, n_iters=10)
@@ -439,6 +475,7 @@ def main():
         "batch": B_big,
         "backend": jax.default_backend(),
         **ddim_lane,
+        **respaced_lane,
         **panda,
         **serving,
         **panda_serving,
