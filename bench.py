@@ -358,7 +358,7 @@ def main():
         f" (MFU {100*(mfu_big or 0):.1f}%,"
         f" HBM roofline {100*(hbm_big or 0):.0f}%)")
 
-    log("compiling DDIM fast lane (12 forwards vs 30)...")
+    log("compiling DDIM fast lane (15 forwards vs 30)...")
     ddim_lane = {}
     try:
         if past_deadline("DDIM"):

@@ -58,7 +58,12 @@ def main():
     for n in counts:
         B = args.per_device_batch * n
         mesh = make_mesh(n) if n > 1 else None
-        q = build_query(B, mesh=mesh)
+        # fused="off" at every point: the mesh path cannot use the Pallas
+        # guide kernel (pallas_call does not partition under GSPMD), so the
+        # n=1 baseline must run the same autodiff-guide program — otherwise
+        # scaling_efficiency conflates the guide-path swap with the real
+        # collective/dispatch overhead
+        q = build_query(B, mesh=mesh, fused="off")
         t = time_query(q, n_iters=args.n_iters)
         thpt = B / float(np.median(t))
         if base is None:

@@ -78,9 +78,11 @@ class GuideTrajectoriesWithVelocity:
                     fn = make(
                         self.num_interp,
                         interpret=interp_mode,
-                        # interpret mode exists for CPU parity tests on tiny
-                        # batches: force the kernel past its min_batch gate
-                        min_batch=1 if interp_mode else None,
+                        # "on"/"interpret" force the kernel past its
+                        # min_batch gate (A/B forcing and CPU parity tests
+                        # on tiny batches); "auto" keeps the measured
+                        # crossover (the 2D kernel loses below B=128)
+                        min_batch=1 if fused_collision in ("on", "interpret") else None,
                     )
                     if fn is not None:
                         self._fused_grads[idx] = fn
@@ -147,6 +149,11 @@ class GuideTrajectoriesPositionOnly(GuideTrajectoriesWithVelocity):
     """
 
     def __init__(self, *args, dt: float = 5.0 / 64, **kwargs):
+        # the fused collision kernels differentiate w.r.t. a full [q, dq]
+        # state; this guide's gradient flows through the finite-difference
+        # velocity reconstruction too, which the kernels do not model —
+        # position-only guidance always uses the jax.grad path
+        kwargs["fused_collision"] = "off"
         super().__init__(*args, **kwargs)
         self.dt = float(dt)
 

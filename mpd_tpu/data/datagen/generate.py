@@ -133,7 +133,7 @@ def generate_context(
             )
         return planner.plan(start, goal)
 
-    if max_workers == 1:
+    if max_workers in (0, 1):  # 0 and 1 both mean "no parallelism"
         results = [_plan_seed(i) for i in range(num_trajectories)]
     else:
         n_workers = (

@@ -359,7 +359,8 @@ def run_ddim_sampling(
         # DDPM step's scale.
         sigma0 = refine_noise_std * schedule.posterior_std[1]
 
-        def refine(carry, t_j):
+        def refine(carry, xs):
+            t_j, not_last = xs
             x, k = carry
             tb = jnp.full((b,), t_j, dtype=jnp.int32)
             if refine_anneal_t > 0:
@@ -382,15 +383,22 @@ def run_ddim_sampling(
                     x_start, hard_conds, guide_fn, n_guide_steps=cfg.n_guide_steps
                 )
             if refine_noise_std > 0.0:  # static python float
+                # exploration only BETWEEN refine steps: the final step
+                # returns the guided denoised estimate with no noise on top
+                # (nothing would denoise it), mirroring the DDPM chain's
+                # t==0 noise zeroing
                 k, sub = jax.random.split(k)
-                x_start = x_start + sigma0 * jax.random.normal(
+                x_start = x_start + not_last * sigma0 * jax.random.normal(
                     sub, x_start.shape, x_start.dtype
                 )
             x_start = apply_hard_conditioning(x_start, hard_conds)
             return (x_start, k), (x_start if return_chain else None)
 
+        not_last = jnp.arange(S) < S - 1
         (x, _), ys = jax.lax.scan(
-            refine, (x, key), jnp.asarray(t_js, dtype=jnp.int32)
+            refine, (x, key),
+            (jnp.asarray(t_js, dtype=jnp.int32),
+             not_last.astype(schedule.betas.dtype)),
         )
         if return_chain:
             chain.extend(list(ys))

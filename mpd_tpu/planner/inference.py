@@ -232,9 +232,12 @@ class MotionPlanner:
             self.sampler_cfg = dataclasses.replace(
                 self.sampler_cfg,
                 t_start_guide=idx_start_guide,
-                # a schedule fn of t expects ORIGINAL timesteps
+                # a schedule fn of t expects ORIGINAL timesteps; jnp-index
+                # the map so the wrapper works on host ints (run_sampling's
+                # host-side noise pre-draw) and traced t alike
                 noise_std_extra=(
-                    (lambda t, _nse=nse, _tm=tuple(times): _nse(_tm[int(t)]))
+                    (lambda t, _nse=nse,
+                     _tm=jnp.asarray(times, jnp.int32): _nse(_tm[t]))
                     if callable(nse)
                     else nse
                 ),

@@ -235,8 +235,10 @@ class Trainer:
                     self.state, loss = self._train_step(self.state, sub)
             done += chunk
 
-            do_log = done % log_every < steps_per_call
-            do_summary = (step_offset + done) % cfg.steps_til_summary < steps_per_call and (
+            # window test uses the ACTUAL chunk size: a partial tail chunk
+            # right after a cadence boundary must not re-fire the slot
+            do_log = done % log_every < chunk
+            do_summary = (step_offset + done) % cfg.steps_til_summary < chunk and (
                 summary_fn is not None or logger is not None
             )
             if do_log or do_summary:

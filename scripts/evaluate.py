@@ -171,9 +171,15 @@ def main():
         Q = args.batch_queries
         for lo in range(0, args.n_queries, Q):
             chunk = pairs[lo : lo + Q]
+            # pad a ragged final chunk to Q by repeating the last query and
+            # drop the extra rows: plan_batch compiles one program per
+            # distinct Q, and a second cold compile (minutes through the
+            # remote-compile tunnel) would skew the tail rows' latencies
+            n_real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (Q - n_real)
             starts = jnp.stack([c[0] for c in chunk])
             goals = jnp.stack([c[1] for c in chunk])
-            all_res.extend(planner.plan_batch(plan_keys[lo], starts, goals))
+            all_res.extend(planner.plan_batch(plan_keys[lo], starts, goals)[:n_real])
     else:
         for q in range(args.n_queries):
             all_res.append(planner.plan(plan_keys[q], pairs[q][0], pairs[q][1]))
