@@ -300,3 +300,33 @@ def test_ddim_refine_anneal_tail(setup):
         assert float(jnp.abs(x).max()) < 3.0
         np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(x[:, -1]), 0.3, atol=1e-6)
+
+
+def test_plan_batch_sharded_matches_single_device(setup):
+    """plan_batch (the multi-query serving path) under mesh=: the Q*B
+    candidate axis is sharded, per-query argmin/take_along_axis must still
+    agree with the unsharded program."""
+    net, _, sched, H, D = setup
+    ds = _toy_dataset()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, H, D)), jnp.zeros((2,), jnp.int32))
+    eps_fn = lambda p, x, t: net.apply(p, x, t)
+    cfg = PlannerConfig(n_samples=16)
+
+    trs = np.asarray(ds.trajs)
+    starts = jnp.asarray(trs[:2, 0, :2])
+    goals = jnp.asarray(trs[:2, -1, :2])
+    key = jax.random.PRNGKey(5)
+    res_single = MotionPlanner(ds, sched, eps_fn, cfg, params=params).plan_batch(
+        key, starts, goals
+    )
+    res_shard = MotionPlanner(
+        ds, sched, eps_fn, cfg, params=params, mesh=make_mesh(8)
+    ).plan_batch(key, starts, goals)
+
+    for rs, rh in zip(res_single, res_shard):
+        np.testing.assert_allclose(rs.trajs_final, rh.trajs_final, rtol=2e-3, atol=1e-4)
+        np.testing.assert_array_equal(rs.free_mask, rh.free_mask)
+        assert rs.success == rh.success
+        if rs.success:
+            assert rs.idx_best == rh.idx_best
+            assert rs.cost_best == pytest.approx(rh.cost_best, rel=1e-3)
