@@ -372,22 +372,6 @@ def main():
     except Exception as e:
         log(f"DDIM lane skipped: {e}")
 
-    log("compiling respaced-DDPM fast lane (15 forwards, stochastic)...")
-    respaced_lane = {}
-    try:
-        if past_deadline("respaced"):
-            raise TimeoutError("lane deadline")
-        q_resp = build_query(B_big, respaced=True)
-        jax.block_until_ready([q_resp(k) for k in keys[:4]])
-        t_rs = time_pipelined(q_resp)
-        respaced_lane = {
-            "respaced_trajs_per_sec_pipelined": round(B_big / t_rs, 1)
-        }
-        log(f"respaced-10 pipelined: {t_rs*1e3:.1f} ms/query"
-            f" -> {B_big/t_rs:.0f} trajs/s")
-    except Exception as e:
-        log(f"respaced lane skipped: {e}")
-
     log("compiling reference-shaped query (B=50)...")
     q_ref = build_query(50)
     t_ref = time_query(q_ref, n_iters=10)
@@ -463,6 +447,24 @@ def main():
             f" ({1.0/t_q:.0f} queries/s)")
     except Exception as e:
         log(f"Panda serving lane skipped: {e}")
+
+    # the respaced lane runs LAST: it is the newest program (a cold remote
+    # compile here must not starve the long-reported lanes above)
+    log("compiling respaced-DDPM fast lane (15 forwards, stochastic)...")
+    respaced_lane = {}
+    try:
+        if past_deadline("respaced"):
+            raise TimeoutError("lane deadline")
+        q_resp = build_query(B_big, respaced=True)
+        jax.block_until_ready([q_resp(k) for k in keys[:4]])
+        t_rs = time_pipelined(q_resp)
+        respaced_lane = {
+            "respaced_trajs_per_sec_pipelined": round(B_big / t_rs, 1)
+        }
+        log(f"respaced-10 pipelined: {t_rs*1e3:.1f} ms/query"
+            f" -> {B_big/t_rs:.0f} trajs/s")
+    except Exception as e:
+        log(f"respaced lane skipped: {e}")
 
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
     out = {
