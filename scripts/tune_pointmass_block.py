@@ -1,24 +1,24 @@
 #!/usr/bin/env python
-"""Sweep the 2D guide megakernel's batch blocking (block_b) on the chip.
+"""Tune the 2D guide megakernel's batch blocking (block_b) on the chip.
 
-The kernel (kernels/pointmass_guide.py) defaults to block_b=32 at B>=256
-(grid 128 at the bench's B=4096 operating point) — ROADMAP notes this is
-untuned. Measures the kernel in isolation, pipelined (amortized dispatch,
-the only trustworthy wall timing through the tunneled backend).
-
-Usage: python scripts/tune_pointmass_block.py [B ...]
+Times make_pointmass_collision_grad at the bench operating point
+(EnvDense2D+extra, B=4096, 128 interp points) for a sweep of block_b
+values, pipelined dispatch (amortizes the tunneled host<->device latency;
+single-dispatch walls carry 20-35 ms jitter). Prints one JSON line per
+block size; use the winner as the kernel's large-batch default
+(kernels/pointmass_guide.py apply()).
 """
 
-import os
+import json
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from mpd_tpu.core import setup_runtime
+import numpy as np
 
 
 def main():
+    from mpd_tpu.core import setup_runtime
+
     setup_runtime()
     import jax
     import jax.numpy as jnp
@@ -29,30 +29,34 @@ def main():
     env = get_env("EnvDense2D", use_extra_objects=True)
     robot = get_robot("RobotPointMass")
 
-    batches = [int(a) for a in sys.argv[1:]] or [4096]
-    H = 64
-    K = 50  # dispatches per timing round
+    B, H = 4096, 64
+    K = 24  # calls in flight per timing round
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, 2)) * 0.5
+    xs = [x + 0.001 * i for i in range(K)]
+    xs = [jax.device_put(v) for v in xs]
 
-    for B in batches:
-        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, 2)) * 0.8
-        print(f"B={B}", flush=True)
-        for bb in (16, 32, 64, 128, 256, 512):
-            if bb > B:
-                continue
-            fn = make_pointmass_collision_grad(
-                robot, env.objects, margin=0.05, sigma=1.0, block_b=bb
-            )
-            f = jax.jit(fn)
-            out = jax.block_until_ready(f(q))  # compile
-            # checksum so all variants are verified identical
-            s = float(jnp.sum(jnp.abs(out)))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready([f(q) for _ in range(K)])
-                best = min(best, (time.perf_counter() - t0) / K)
-            print(f"  block_b={bb:4d} grid={B // bb:4d}: {best * 1e6:8.1f} us/call"
-                  f"  (checksum {s:.4f})", flush=True)
+    print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
+    results = {}
+    for bb in (int(a) for a in (sys.argv[1:] or ["32", "64", "128", "256", "512"])):
+        fn = make_pointmass_collision_grad(
+            robot, env.objects, margin=0.05, sigma=1.0, num_interp=128,
+            block_b=bb,
+        )
+        g = jax.jit(fn)
+        jax.block_until_ready(g(xs[0]))  # compile
+        jax.block_until_ready([g(v) for v in xs[:6]])  # warm pipeline
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready([g(v) for v in xs])
+            best = min(best, (time.perf_counter() - t0) / K)
+        results[bb] = best
+        print(json.dumps({"block_b": bb, "us_per_call": round(best * 1e6, 1),
+                          "grid": B // bb}), flush=True)
+
+    win = min(results, key=results.get)
+    print(json.dumps({"winner_block_b": win,
+                      "us_per_call": round(results[win] * 1e6, 1)}), flush=True)
 
 
 if __name__ == "__main__":
