@@ -158,3 +158,48 @@ def test_gp_analytic_gradient_matches_autodiff(world):
     g_analytic = cost.gradient(x)
     np.testing.assert_allclose(np.asarray(g_analytic), np.asarray(g_auto),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_position_only_guide_never_builds_fused_kernels(world):
+    """The fused collision kernels differentiate w.r.t. the full [q, dq]
+    state; position-only guidance flows its gradient through the
+    finite-difference velocity reconstruction, which the kernels do not
+    model — the knob must silently stay on the jax.grad path."""
+    from mpd_tpu.costs import GuideTrajectoriesPositionOnly
+
+    env, robot = world
+    H = 8
+    norm = LimitsNormalizer(mins=jnp.full((2,), -1.0), maxs=jnp.ones((2,)))
+    comp = CostComposite(
+        robot, H,
+        [CostCollision(robot, H, field=env.objects, cutoff_margin=0.03)],
+        weights_cost_l=[1e-2],
+    )
+    guide = GuideTrajectoriesPositionOnly(
+        unnormalize_fn=norm.unnormalize, cost=comp,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=16, dt=5.0 / H,
+        fused_collision="interpret",  # would force the kernel if honored
+    )
+    assert guide._fused_grads == {}
+
+
+def test_fused_on_forces_past_min_batch_gate(world):
+    """fused_collision='on'/'interpret' must force the kernel below its
+    measured B=128 crossover (the A/B-forcing contract); 'auto' keeps the
+    gate. Verified structurally via the builder's min_batch plumbing."""
+    env, robot = world
+    term = CostCollision(robot, 8, field=env.objects, cutoff_margin=0.03)
+    forced = term.make_fused_interp_gradient(16, interpret=True, min_batch=1)
+    gated = term.make_fused_interp_gradient(16, interpret=True, min_batch=None)
+    if forced is None:
+        pytest.skip("kernel outside coverage on this backend")
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-0.9, 0.9, (2, 8, 4)), jnp.float32
+    )
+    g_forced = np.asarray(forced(x))
+    g_gated = np.asarray(gated(x))  # B=2 < 128: autodiff fallback
+    assert np.isfinite(g_forced).all()
+    # both paths compute the same gradient (parity), so forcing is only
+    # observable structurally — but it must at least agree numerically
+    np.testing.assert_allclose(g_forced, g_gated, rtol=1e-4, atol=1e-5)
