@@ -293,14 +293,31 @@ def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass
 
 
 def main():
+    import os
+
     from mpd_tpu.core import setup_runtime
 
     setup_runtime()  # persistent compile cache: repeat runs skip the
     # ~20 min remote cold compile of the guided query
 
-    import os
+    # The tunneled TPU backend occasionally reports UNAVAILABLE for a
+    # stretch (server-side lease/outage; see ROADMAP "environment risks").
+    # Retry initialization for up to BENCH_BACKEND_RETRY_S before giving
+    # up, so a transient outage at bench time doesn't lose the run.
+    retry_budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 1800))
+    t_retry0 = time.perf_counter()
+    while True:
+        try:
+            import jax
 
-    import jax
+            jax.devices()
+            break
+        except RuntimeError as e:
+            waited = time.perf_counter() - t_retry0
+            if waited > retry_budget:
+                raise
+            log(f"backend unavailable after {waited:.0f}s ({e}); retrying in 60s")
+            time.sleep(60)
 
     t_bench_start = time.perf_counter()
     # Optional lanes (DDIM / Panda / serving) are skipped past this
