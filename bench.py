@@ -258,11 +258,26 @@ def _draw_query_pairs(ds, n, seed=30):
 
 
 def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
-                      n_samples=100):
+                      n_samples=100, respaced=False):
     """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
     w_coll=5e-2, 15 guide steps (the RESULTS.md operating point that gives
-    100/100 success at N=100; gs10 scores 0.99 over N=200)."""
+    100/100 success at N=100; gs10 scores 0.99 over N=200). With
+    `respaced`, the Panda fast lane: dense-head-15 respaced-DDPM (20
+    eps-forwards vs 30) — quality-matched to this headline at N=100
+    (1.00 success / 0.767 vs 0.774 fraction-free, RESULTS.md)."""
     planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2, n_guide_steps=15)
+    if respaced:
+        from mpd_tpu.planner import MotionPlanner, PlannerConfig
+
+        planner = MotionPlanner(
+            planner.dataset, planner.schedule, planner.eps_fn,
+            params=planner.params,
+            config=dataclasses.replace(
+                planner.config, use_respaced=True,
+                respaced_times=(0, 3, 6, 9, 12, 15, 16, 17, 18,
+                                19, 20, 21, 22, 23, 24),
+            ),
+        )
     qs = _draw_query_pairs(ds, 1)[0]
     hard_conds = planner.hard_conds_for(qs[0], qs[1])
 
@@ -483,6 +498,22 @@ def main():
     except Exception as e:
         log(f"respaced lane skipped: {e}")
 
+    log("compiling Panda respaced fast lane (dense-head-15, 20 forwards)...")
+    panda_respaced = {}
+    try:
+        if past_deadline("Panda respaced"):
+            raise TimeoutError("lane deadline")
+        q_pr, _ = build_panda_query(respaced=True)
+        t_pr = time_query(q_pr, n_iters=10)
+        p50_pr = float(np.median(t_pr))
+        panda_respaced = {
+            "panda_respaced_p50_s_100samples": round(p50_pr, 4),
+            "panda_respaced_trajs_per_sec": round(100.0 / p50_pr, 1),
+        }
+        log(f"Panda respaced 100-sample p50: {p50_pr*1e3:.1f} ms")
+    except Exception as e:
+        log(f"Panda respaced lane skipped: {e}")
+
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
     out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
@@ -495,6 +526,7 @@ def main():
         "backend": jax.default_backend(),
         **ddim_lane,
         **respaced_lane,
+        **panda_respaced,
         **panda,
         **serving,
         **panda_serving,
