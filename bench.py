@@ -515,11 +515,21 @@ def main():
         log(f"Panda respaced lane skipped: {e}")
 
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
+    # Headline = the SERVING DEFAULT lane. Since round 2 that is respaced
+    # DDPM (quality-matched to the full DDPM-25 chain at N=100-200 on all
+    # four tasks — RESULTS.md "Respaced DDPM"); the full-chain DDPM number
+    # stays reported as ddpm25_trajs_per_sec_pipelined (and is the headline
+    # fallback if the respaced lane was skipped by the deadline guard).
+    headline = respaced_lane.get("respaced_trajs_per_sec_pipelined", thpt_pipe)
     out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
-        "value": round(thpt_pipe, 1),
+        "value": round(headline, 1),
         "unit": "trajs/s",
-        "vs_baseline": round(thpt_pipe / baseline_trajs_per_s, 2),
+        "vs_baseline": round(headline / baseline_trajs_per_s, 2),
+        "headline_lane": (
+            "respaced10_serving_default" if respaced_lane else "ddpm25"
+        ),
+        "ddpm25_trajs_per_sec_pipelined": round(thpt_pipe, 1),
         "trajs_per_sec_single_dispatch": round(thpt, 1),
         "latency_p50_s_50samples": round(p50, 4),
         "batch": B_big,
