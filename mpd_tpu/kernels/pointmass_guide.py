@@ -171,7 +171,13 @@ def make_pointmass_collision_grad(
         H = q.shape[-2]
         q2 = q.reshape((-1, H, 2))
         B = q2.shape[0]
-        bb = block_b if block_b is not None else (32 if B >= 256 else 8)
+        # On-chip sweep (scripts/tune_pointmass_block.py, B=4096, pipelined):
+        # block 8/16/32/64/128/256 -> 1260/1236/1179/1185/1158/1177 us; 128
+        # wins at the bench operating point (grid 32 amortizes per-program
+        # overhead without spilling the [2, bb, 128] interp blocks).
+        bb = block_b if block_b is not None else (
+            128 if B >= 1024 else 32 if B >= 256 else 8
+        )
         Bp = -(-B // bb) * bb
         if Bp != B:
             q2 = jnp.concatenate(

@@ -10,10 +10,13 @@ block size; use the winner as the kernel's large-batch default
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
