@@ -196,3 +196,22 @@ def test_planner_respaced_variant_pins_and_differs_across_keys():
             lambda p, x, t: net.apply(p, x, t), params=params,
             config=PlannerConfig(n_samples=4, use_respaced=True, use_ddim=True),
         )
+
+    # plan_batch under the respaced chain (the Panda serving-default lane in
+    # bench.py): Q=1 agrees exactly with plan(), Q=2 pins per query
+    [rb] = planner.plan_batch(jax.random.PRNGKey(1), start[None], goal[None])
+    np.testing.assert_allclose(rb.trajs_final, r1.trajs_final, atol=1e-6)
+    assert rb.success == r1.success
+    trs = np.asarray(ds.trajs)
+    starts = jnp.asarray(trs[:2, 0, :2])
+    goals = jnp.asarray(trs[:2, -1, :2])
+    for qi, r in enumerate(planner.plan_batch(jax.random.PRNGKey(9), starts, goals)):
+        assert np.isfinite(r.trajs_final).all()
+        np.testing.assert_allclose(
+            r.trajs_final[:, 0, :2],
+            np.broadcast_to(np.asarray(starts[qi]), (4, 2)), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            r.trajs_final[:, -1, :2],
+            np.broadcast_to(np.asarray(goals[qi]), (4, 2)), atol=1e-5,
+        )
