@@ -58,12 +58,11 @@ def main():
     for n in counts:
         B = args.per_device_batch * n
         mesh = make_mesh(n) if n > 1 else None
-        # fused="off" at every point: the mesh path cannot use the Pallas
-        # guide kernel (pallas_call does not partition under GSPMD), so the
-        # n=1 baseline must run the same autodiff-guide program — otherwise
-        # scaling_efficiency conflates the guide-path swap with the real
-        # collective/dispatch overhead
-        q = build_query(B, mesh=mesh, fused="off")
+        # fused="auto" everywhere: mesh points run the Pallas guide kernel
+        # shard_mapped over the candidate axis (parallel.shard_map_batch0),
+        # the same program family as n=1 — scaling_efficiency measures only
+        # collective/dispatch overhead, with the production fused guide live
+        q = build_query(B, mesh=mesh, fused="auto")
         t = time_query(q, n_iters=args.n_iters)
         thpt = B / float(np.median(t))
         if base is None:

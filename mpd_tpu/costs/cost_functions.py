@@ -64,7 +64,7 @@ class CostCollision:
 
     def make_fused_interp_gradient(
         self, num_interp: int, interpret: bool = False, block_b=None,
-        min_batch=None,
+        min_batch=None, mesh=None, mesh_axis: str = "data",
     ):
         """Pallas megakernel for d(sum cost(interp(x, num_interp)))/dx, or
         None when (robot, field) is outside kernel coverage — the guide then
@@ -75,7 +75,13 @@ class CostCollision:
         instead: measured on the chip, the 2D kernel wins from B=128 up
         (pipelined/query −6% at 128, −13% at 512, −8% at 4096) but loses
         ~4% at B=50 to per-program overhead + layout transposes. Pass
-        min_batch=1 to force the kernel (parity tests)."""
+        min_batch=1 to force the kernel (parity tests).
+
+        With `mesh`, the pallas_call is wrapped in `jax.shard_map` over the
+        candidate axis (parallel.shard_map_batch0) — the kernel is
+        per-sample parallel, so each device runs it on its local shard with
+        no collectives, and the min_batch crossover gate applies to the
+        PER-DEVICE batch (which is what the kernel instance actually sees)."""
         if self.squared:
             return None
         from mpd_tpu.kernels.panda_guide import make_panda_collision_grad
@@ -99,6 +105,12 @@ class CostCollision:
             return None
         q_dim = self.robot.q_dim
         min_b = min_batch if min_batch is not None else getattr(kfn, "min_batch", 1)
+        n_shards = 1
+        if mesh is not None:
+            from mpd_tpu.parallel.mesh import shard_map_batch0
+
+            n_shards = mesh.shape[mesh_axis]
+            kfn = shard_map_batch0(kfn, mesh, mesh_axis)
 
         def autodiff_grad(x_phys):
             from mpd_tpu.world.task import interpolate_points
@@ -109,7 +121,7 @@ class CostCollision:
 
         def grad_fn(x_phys: jnp.ndarray) -> jnp.ndarray:
             batch = int(np.prod(x_phys.shape[:-2])) if x_phys.ndim > 2 else 1
-            if batch < min_b:
+            if -(-batch // n_shards) < min_b:
                 return autodiff_grad(x_phys)
             # collision reads only the position slice of the interpolated
             # state, so the velocity slice of the gradient is exactly zero

@@ -50,6 +50,7 @@ class GuideTrajectoriesWithVelocity:
         interpolate_trajectories_for_collision: bool = False,
         num_interpolated_points_for_collision: int = 128,
         fused_collision: str = "auto",
+        mesh=None,
     ):
         self.unnormalize_fn = unnormalize_fn
         self.cost = cost
@@ -63,7 +64,10 @@ class GuideTrajectoriesWithVelocity:
         # see kernels/panda_guide.py). "auto": on when running on a real TPU
         # backend; "on"/"interpret": force (interpret = CPU parity tests);
         # "off": always jax.grad. Terms outside kernel coverage silently
-        # keep the autodiff path either way.
+        # keep the autodiff path either way. With `mesh`, the kernel runs
+        # shard_mapped over the candidate axis (per-device instances, no
+        # collectives — see parallel.shard_map_batch0), so the fused path
+        # and mesh-sharded planning compose.
         self._fused_grads = {}
         if self.interpolate and fused_collision != "off":
             want = fused_collision in ("on", "interpret") or (
@@ -83,6 +87,7 @@ class GuideTrajectoriesWithVelocity:
                         # on tiny batches); "auto" keeps the measured
                         # crossover (the 2D kernel loses below B=128)
                         min_batch=1 if fused_collision in ("on", "interpret") else None,
+                        mesh=mesh,
                     )
                     if fn is not None:
                         self._fused_grads[idx] = fn

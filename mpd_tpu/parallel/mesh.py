@@ -58,6 +58,46 @@ def replicate(mesh: Mesh, x):
     )
 
 
+def shard_map_batch0(fn, mesh: Mesh, axis_name: str = "data"):
+    """Wrap a per-sample-parallel fn ([B, ...] -> [B, ...] same rank) in
+    `jax.shard_map` splitting axis 0 across the mesh.
+
+    This is how the Pallas guide megakernels run under a mesh: a pallas_call
+    does not partition under GSPMD propagation, but the kernels are
+    embarrassingly parallel over the candidate axis, so manual sharding over
+    'data' runs one per-device kernel instance on the local candidate shard
+    with zero collectives. Leading dims are flattened to one batch axis and
+    padded to a device-count multiple inside the traced program (the pad
+    rows compute garbage and are sliced off)."""
+    from functools import wraps
+
+    import jax.numpy as jnp
+
+    n = mesh.shape[axis_name]
+
+    @wraps(fn)
+    def apply(q):
+        lead, tail = q.shape[:-2], q.shape[-2:]
+        q2 = q.reshape((-1,) + tail)
+        B = q2.shape[0]
+        Bp = -(-B // n) * n
+        if Bp != B:
+            q2 = jnp.concatenate(
+                [q2, jnp.zeros((Bp - B,) + tail, q2.dtype)], axis=0
+            )
+        spec = P(axis_name, *([None] * len(tail)))
+        out = jax.shard_map(
+            fn, mesh=mesh, in_specs=spec, out_specs=spec,
+            # pallas_call's out_shape carries no varying-manual-axes info;
+            # the kernel touches only its local shard, so rep-checking is
+            # vacuously satisfied
+            check_vma=False,
+        )(q2)
+        return out[:B].reshape(lead + tail)
+
+    return apply
+
+
 def constrain_batch(mesh: Optional[Mesh], x, axis_name: str = "data"):
     """Inside-jit sharding constraint: axis 0 of every leaf split across the
     mesh. No-op when mesh is None, so single-device code paths are untouched."""

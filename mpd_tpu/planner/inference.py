@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -92,10 +92,11 @@ class PlannerConfig:
     use_respaced: bool = False
     respaced_times: Optional[Tuple[int, ...]] = None
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
-    # the backend is a real TPU and no mesh is set; "on"/"interpret"/"off"
-    # force — see kernels/{panda,pointmass}_guide.py). Covers Panda in
-    # sphere-only 3D fields and the point robot in 2D sphere/box fields;
-    # other terms keep the jax.grad path.
+    # the backend is a real TPU; "on"/"interpret"/"off" force — see
+    # kernels/{panda,pointmass}_guide.py). Covers Panda in sphere-only 3D
+    # fields and the point robot in 2D sphere/box fields; other terms keep
+    # the jax.grad path. Under a mesh the kernel runs shard_mapped over the
+    # candidate axis (parallel.shard_map_batch0).
     fused_collision_guide: str = "auto"
 
 
@@ -189,20 +190,18 @@ class MotionPlanner:
             else GuideTrajectoriesPositionOnly
         )
         guide_kwargs = {} if dataset.include_velocity else {"dt": dt}
-        # a pallas_call does not partition under GSPMD propagation (the
-        # mesh path shards the candidate axis by input placement alone),
-        # so "auto" keeps the autodiff guide when a mesh is set; "on"
-        # still forces the kernel for meshes that wrap it in shard_map
-        fused_mode = config.fused_collision_guide
-        if fused_mode == "auto" and mesh is not None:
-            fused_mode = "off"
+        # a pallas_call does not partition under GSPMD propagation, so under
+        # a mesh the kernel is wrapped in shard_map over the candidate axis
+        # (per-device kernel instances, zero collectives) — the fused guide
+        # and mesh-sharded planning compose; see parallel.shard_map_batch0
         self.guide = guide_cls(
             unnormalize_fn=dataset.unnormalize_trajectories,
             cost=cost_composite,
             clip_grad=True,
             interpolate_trajectories_for_collision=True,
             num_interpolated_points_for_collision=128,
-            fused_collision=fused_mode,
+            fused_collision=config.fused_collision_guide,
+            mesh=mesh,
             **guide_kwargs,
         )
 

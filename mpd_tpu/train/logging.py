@@ -36,6 +36,16 @@ class ExperimentLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, path: str, step: Optional[int] = None):
+        """Log a figure file (wandb image when enabled; the PNG on disk is
+        the always-available artifact — ref
+        summary_trajectory_generation.py:53-84 logs figures to wandb)."""
+        if self._wandb is not None:
+            try:
+                self._wandb.log({name: self._wandb.Image(path)}, step=step)
+            except Exception as e:
+                print(f"[logger] image log failed ({e})")
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -62,7 +62,10 @@ class TrainConfig:
 class TrainState(NamedTuple):
     params: FrozenDict
     ema_params: FrozenDict
-    opt_state: optax.OptState
+    # optax.OptState is a lazy alias whose forward refs (chex.ArrayTree)
+    # don't resolve under typing.get_type_hints; Any keeps dataclass/
+    # serializer tooling working
+    opt_state: Any
     step: jnp.ndarray  # scalar int32
 
 

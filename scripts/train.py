@@ -42,6 +42,10 @@ def main():
     p.add_argument("--summary-samples", type=int, default=25)
     p.add_argument("--no-summary", action="store_true",
                    help="disable the periodic rollout summary")
+    p.add_argument("--no-summary-figures", action="store_true",
+                   help="skip the dataset-vs-sampled trajectory PNGs the "
+                        "summary renders under <out>/summary_figures "
+                        "(ref summary_trajectory_generation.py:53-84)")
     p.add_argument("--wandb-mode", default="disabled",
                    choices=("disabled", "online", "offline"))
     p.add_argument("--wandb-project", default=None)
@@ -144,12 +148,20 @@ def main():
     )
     summary_fn = None
     if not args.no_summary:
-        summary = RolloutSummary(ds, schedule, net.apply, n_samples=args.summary_samples)
+        summary = RolloutSummary(
+            ds, schedule, net.apply, n_samples=args.summary_samples,
+            fig_dir=(
+                None if args.no_summary_figures
+                else os.path.join(args.out, "summary_figures")
+            ),
+            logger=logger,
+        )
 
         def summary_fn(step):
             return summary(
                 trainer.state.ema_params if cfg.use_ema else trainer.state.params,
                 jax.random.PRNGKey(args.seed * 104729 + step),
+                step=step,
             )
 
     remaining = args.num_train_steps - start_step
