@@ -106,7 +106,7 @@ def make_panda_collision_grad(
     margin: float,
     sigma: float,
     num_interp: int = 128,
-    block_b: int = 8,
+    block_b: Optional[int] = None,
     interpret: bool = False,
 ) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
     """Build fn(q [..., H, 7]) -> d(sum cost_coll(interp))/dq [..., H, 7].
@@ -199,7 +199,13 @@ def make_panda_collision_grad(
         H = q.shape[-2]
         q2 = q.reshape((-1, H, 7))
         B = q2.shape[0]
-        Bp = -(-B // block_b) * block_b
+        # On-chip sweep (scripts/tune_panda_block.py, B=1024, pipelined):
+        # block 8/16/32/64 -> 1499/1529/1482/1226 us; 64 wins at large
+        # batch (fewer program instances amortize per-program overhead
+        # without spilling the VMEM-resident FK chain). B=100 (the
+        # single-query headline) was tuned at 8 in round 2.
+        bb = block_b if block_b is not None else (64 if B >= 512 else 8)
+        Bp = -(-B // bb) * bb
         if Bp != B:
             q2 = jnp.concatenate(
                 [q2, jnp.zeros((Bp - B, H, 7), q2.dtype)], axis=0
@@ -210,10 +216,10 @@ def make_panda_collision_grad(
 
         out = pl.pallas_call(
             kernel,
-            grid=(Bp // block_b,),
+            grid=(Bp // bb,),
             in_specs=[
                 pl.BlockSpec(
-                    (7, block_b, H),
+                    (7, bb, H),
                     lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -225,7 +231,7 @@ def make_panda_collision_grad(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (7, block_b, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (7, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((7, Bp, H), jnp.float32),
             interpret=interpret,
