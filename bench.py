@@ -716,6 +716,35 @@ def main():
     except Exception as e:
         log(f"serving lane skipped: {e}")
 
+    log("compiling fast serving lane (plan_batch, Q=64 x 50 samples,"
+        " respaced-10 gs10)...")
+    serving_fast = {}
+    try:
+        if past_deadline("fast serving"):
+            raise TimeoutError("lane deadline")
+        # quality-matched fast serving (round 3): the 2D HEADLINE config
+        # (respaced-10 chain, gs10, w=3e-2 — 1.00 success on all three 2D
+        # tasks at N=100, results_eval_respaced10_gs10) batched Q=64
+        # queries per dispatch. Q sweep on-chip: large Q amortizes the
+        # per-dispatch overhead across 3200 candidates (the large-batch
+        # operating point), and the respaced chain halves the forwards.
+        q_fserve, Qf = build_serving_batch(
+            Q=64, n_samples=50, w_coll=3e-2, n_guide_steps=10,
+            respaced_times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
+        )
+        q_fserve(jrandom.PRNGKey(0))
+        t_q = time_serving(q_fserve) / Qf
+        serving_fast = {
+            "serving_fast_p50_s_per_query": round(t_q, 5),
+            "serving_fast_queries_per_sec": round(1.0 / t_q, 1),
+            "serving_fast_batch_queries": Qf,
+            "serving_fast_lane": "respaced10_gs10_headline_quality",
+        }
+        log(f"fast serving: {t_q*1e3:.2f} ms/query amortized"
+            f" ({1.0/t_q:.0f} queries/s)")
+    except Exception as e:
+        log(f"fast serving lane skipped: {e}")
+
     log("compiling Panda serving lane (plan_batch, Q=8 x 100 samples,"
         " respaced dense-head-15)...")
     panda_serving = {}
@@ -826,6 +855,7 @@ def main():
         **panda,
         **panda_big,
         **serving,
+        **serving_fast,
         **panda_serving,
         **training,
         **kernels_check,
