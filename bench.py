@@ -33,7 +33,8 @@ def log(*a):
 
 def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
                 respaced=False, fused="auto", env_id="EnvDense2D",
-                robot_id="RobotPointMass", n_guide_steps=5, w_coll=1e-2):
+                robot_id="RobotPointMass", n_guide_steps=5, w_coll=1e-2,
+                respaced_times=None):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane)
     and the Pallas guide kernel runs shard_mapped over 'data'.
@@ -137,7 +138,7 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
     if respaced:
         sub_schedule, times = respaced_schedule(
             "exponential", schedule_steps,
-            times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
+            times=respaced_times or (0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
         )
         resp_eps = respace_eps_fn(eps_fn, times)
         resp_cfg = dataclasses.replace(
