@@ -622,6 +622,26 @@ def main():
         f" (MFU {100*(mfu_big or 0):.1f}%,"
         f" HBM upper-bound {100*(hbm_big or 0):.0f}%)")
 
+    # the respaced (serving-default) lane IS the headline metric: it runs
+    # immediately after the core DDPM lane so a slow tunnel patch or the
+    # lane-deadline guard can never skip it (it ran last in r2 when it was
+    # the newest/cold program; it is cache-warm since)
+    log("compiling respaced-DDPM fast lane (15 forwards, stochastic)...")
+    respaced_lane = {}
+    try:
+        if past_deadline("respaced"):
+            raise TimeoutError("lane deadline")
+        q_resp = build_query(B_big, respaced=True)
+        jax.block_until_ready([q_resp(k) for k in keys[:4]])
+        t_rs = time_pipelined(q_resp)
+        respaced_lane = {
+            "respaced_trajs_per_sec_pipelined": round(B_big / t_rs, 1)
+        }
+        log(f"respaced-10 pipelined: {t_rs*1e3:.1f} ms/query"
+            f" -> {B_big/t_rs:.0f} trajs/s")
+    except Exception as e:
+        log(f"respaced lane skipped: {e}")
+
     log("compiling DDIM fast lane (15 forwards vs 30)...")
     ddim_lane = {}
     try:
@@ -775,24 +795,6 @@ def main():
             f" ({1.0/t_q:.0f} queries/s)")
     except Exception as e:
         log(f"Panda serving lane skipped: {e}")
-
-    # the respaced lane runs LAST: it is the newest program (a cold remote
-    # compile here must not starve the long-reported lanes above)
-    log("compiling respaced-DDPM fast lane (15 forwards, stochastic)...")
-    respaced_lane = {}
-    try:
-        if past_deadline("respaced"):
-            raise TimeoutError("lane deadline")
-        q_resp = build_query(B_big, respaced=True)
-        jax.block_until_ready([q_resp(k) for k in keys[:4]])
-        t_rs = time_pipelined(q_resp)
-        respaced_lane = {
-            "respaced_trajs_per_sec_pipelined": round(B_big / t_rs, 1)
-        }
-        log(f"respaced-10 pipelined: {t_rs*1e3:.1f} ms/query"
-            f" -> {B_big/t_rs:.0f} trajs/s")
-    except Exception as e:
-        log(f"respaced lane skipped: {e}")
 
     log("compiling Panda respaced fast lane (dense-head-15, 20 forwards)...")
     panda_respaced = {}
