@@ -126,6 +126,23 @@ def test_motion_planner_sharded_matches_single_device(setup):
         )
 
 
+def test_shard_map_batch0_pads_non_divisible_batch(setup):
+    """shard_map requires the mapped axis divisible by the mesh size;
+    shard_map_batch0 pads inside the traced program and slices the pad
+    rows off, so callers can pass any batch (and leading dims are
+    flattened/restored)."""
+    from mpd_tpu.parallel.mesh import shard_map_batch0
+
+    mesh = make_mesh(8)
+    fn = lambda x: 2.0 * x + 1.0  # per-row elementwise: pad rows harmless
+    wrapped = shard_map_batch0(fn, mesh)
+    for shape in ((10, 4, 3), (16, 4, 3), (2, 5, 4, 3)):
+        x = jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape)
+        out = jax.jit(wrapped)(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(fn(x)), rtol=1e-6)
+        assert out.shape == shape
+
+
 def test_motion_planner_mesh_fused_guide_matches_autodiff(setup):
     """The Pallas guide megakernel composes with mesh sharding (VERDICT r2
     weak #1): under MotionPlanner(mesh=...) the kernel runs shard_mapped
