@@ -34,7 +34,7 @@ def log(*a):
 def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
                 respaced=False, fused="auto", env_id="EnvDense2D",
                 robot_id="RobotPointMass", n_guide_steps=5, w_coll=1e-2,
-                respaced_times=None):
+                respaced_times=None, bf16=False):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane)
     and the Pallas guide kernel runs shard_mapped over 'data'.
@@ -78,11 +78,20 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
     D = robot.state_dim
     dt = 5.0 / H
 
+    # bf16: eps-model compute in bfloat16 (params/chain state stay f32) —
+    # quality-neutral at the headline configs on both robots
+    # (results_eval_bf16_{gs10,gs15,respaced10_gs10}, RESULTS.md)
     net = TemporalUnet(state_dim=D, n_support_points=H, unet_input_dim=32,
-                       dim_mults=(1, 2, 4, 8))
+                       dim_mults=(1, 2, 4, 8),
+                       dtype=jnp.bfloat16 if bf16 else jnp.float32)
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, H, D)),
                       jnp.zeros((2,), jnp.int32))
-    eps_fn = lambda x, t: net.apply(params, x, t)
+    # (bf16 output converted back so the chain state stays f32; the f32
+    # path keeps its exact traced form — same jaxpr, same compile cache key)
+    if bf16:
+        eps_fn = lambda x, t: net.apply(params, x, t).astype(jnp.float32)
+    else:
+        eps_fn = lambda x, t: net.apply(params, x, t)
 
     if is_panda:
         vlim = 2.5 * jnp.ones((robot.q_dim,))
@@ -604,13 +613,14 @@ def main():
     keys = jrandom.split(jrandom.PRNGKey(7), K)
     jax.block_until_ready([q_big(k) for k in keys[:4]])  # warm the pipeline
 
-    def time_pipelined(q):
+    def time_pipelined(q, use_keys=None):
         # best of 3 rounds: tunnel service-rate jitter adds noise on top of
         # the device time, so min is the honest device-side estimate
+        ks = keys if use_keys is None else use_keys
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready([q(k) for k in keys])
+            jax.block_until_ready([q(k) for k in ks])
             best = min(best, (time.perf_counter() - t0) / K)
         return best
 
@@ -641,6 +651,36 @@ def main():
             f" -> {B_big/t_rs:.0f} trajs/s")
     except Exception as e:
         log(f"respaced lane skipped: {e}")
+
+    log("compiling bf16 respaced lane...")
+    try:
+        if past_deadline("bf16 respaced"):
+            raise TimeoutError("lane deadline")
+        q_rb = build_query(B_big, respaced=True, bf16=True)
+        jax.block_until_ready([q_rb(k) for k in keys[:4]])
+        t_rb = time_pipelined(q_rb)
+        # plausibility guard: bf16 buys ~7% over f32, never 4x — a
+        # near-zero timing is a tunnel async artifact (observed once:
+        # 0.0 ms -> 1e8 trajs/s). Re-measure once; if still absurd, drop
+        # the field rather than publish a garbage headline.
+        floor = 0.25 * t_rs if respaced_lane else 0.005
+        if t_rb < floor:
+            log(f"bf16 respaced timing implausible ({t_rb*1e3:.2f} ms);"
+                " re-measuring with fresh keys")
+            t_rb = time_pipelined(
+                q_rb, use_keys=jrandom.split(jrandom.PRNGKey(991), K)
+            )
+        if t_rb < floor:
+            raise RuntimeError(
+                f"bf16 respaced timing implausible twice ({t_rb*1e3:.2f} ms)"
+            )
+        respaced_lane["respaced_bf16_trajs_per_sec_pipelined"] = round(
+            B_big / t_rb, 1
+        )
+        log(f"respaced-10 bf16 pipelined: {t_rb*1e3:.1f} ms/query"
+            f" -> {B_big/t_rb:.0f} trajs/s")
+    except Exception as e:
+        log(f"bf16 respaced lane skipped: {e}")
 
     log("compiling DDIM fast lane (15 forwards vs 30)...")
     ddim_lane = {}
@@ -835,18 +875,26 @@ def main():
     baseline_trajs_per_s = 50.0  # reference operating point: 50 trajs / <1 s budget
     # Headline = the SERVING DEFAULT lane. Since round 2 that is respaced
     # DDPM (quality-matched to the full DDPM-25 chain at N=100-200 on all
-    # four tasks — RESULTS.md "Respaced DDPM"); the full-chain DDPM number
-    # stays reported as ddpm25_trajs_per_sec_pipelined (and is the headline
-    # fallback if the respaced lane was skipped by the deadline guard).
-    headline = respaced_lane.get("respaced_trajs_per_sec_pipelined", thpt_pipe)
+    # four tasks — RESULTS.md "Respaced DDPM"); since round 3 the default
+    # runs the eps-model in bf16 (quality-matched at N=100 per 2D task,
+    # results_eval_bf16_respaced10_gs10 — 1.00 success, fraction-free
+    # within 0.006 of f32). Fallbacks: f32 respaced, then DDPM-25, if a
+    # lane was skipped by the deadline guard.
+    if "respaced_bf16_trajs_per_sec_pipelined" in respaced_lane:
+        headline = respaced_lane["respaced_bf16_trajs_per_sec_pipelined"]
+        headline_lane = "respaced10_bf16_serving_default"
+    elif "respaced_trajs_per_sec_pipelined" in respaced_lane:
+        headline = respaced_lane["respaced_trajs_per_sec_pipelined"]
+        headline_lane = "respaced10_serving_default"
+    else:
+        headline = thpt_pipe
+        headline_lane = "ddpm25"
     out = {
         "metric": "guided_mpd_trajs_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "trajs/s",
         "vs_baseline": round(headline / baseline_trajs_per_s, 2),
-        "headline_lane": (
-            "respaced10_serving_default" if respaced_lane else "ddpm25"
-        ),
+        "headline_lane": headline_lane,
         "ddpm25_trajs_per_sec_pipelined": round(thpt_pipe, 1),
         "trajs_per_sec_single_dispatch": round(thpt, 1),
         "latency_p50_s_50samples": round(p50, 4),
