@@ -579,7 +579,11 @@ def main():
     # Optional lanes (DDIM / Panda / serving) are skipped past this
     # deadline so a cold remote compile in a side lane can never starve
     # the headline JSON line (core lanes print regardless).
-    lane_deadline_s = float(os.environ.get("BENCH_LANE_DEADLINE_S", 1500))
+    # 2400 s default (was 1500 in r2): the lane count grew to 13 and the
+    # tunnel occasionally stalls ~10 min at the first dispatch; the
+    # headline (respaced/bf16) lanes run right after the core lane either
+    # way, so the guard only ever sheds tail lanes
+    lane_deadline_s = float(os.environ.get("BENCH_LANE_DEADLINE_S", 2400))
 
     def past_deadline(lane):
         el = time.perf_counter() - t_bench_start
