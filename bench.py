@@ -174,6 +174,9 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
     # two scan bodies)
     query._eps_jit = jax.jit(eps_fn)
     query._guide_jit = jax.jit(lambda x: guide(x))
+    # introspection: whether the Pallas megakernel path is live for this
+    # build ("auto" resolves per-backend; bench_multichip records this)
+    query._fused_guide_live = bool(guide._fused_grads)
     query._example_x = jnp.zeros((B, H, D))
     query._example_t = jnp.zeros((B,), jnp.int32)
     # chain composition, PER VARIANT (a ddim/respaced chain runs fewer
@@ -181,13 +184,15 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
     # here would overstate chain_cost ~2x on the fast lanes):
     if ddim:
         # one forward per consecutive time pair (10) + the refine tail;
-        # guide fires on pairs with t_next < t_start_guide (t_next in
-        # {6, 3, 0, -1} for the serving subsequence) and on every refine step
+        # guide fires on pairs with t_next < t_start_guide AND t_next >= 0
+        # (t_next in {6, 3, 0} for the serving subsequence — the final
+        # (0, -1) pair breaks out BEFORE the guide block,
+        # sampler.py run_ddim_sampling) plus every refine step
         times = (0, 3, 6, 8, 11, 14, 17, 19, 22, 24)
         n_refine = 5
         query._n_fwd = len(times) + n_refine
         n_guided_pairs = sum(
-            1 for tn in list(times[:-1]) + [-1] if tn < cfg.t_start_guide
+            1 for tn in times[:-1] if tn < cfg.t_start_guide
         )
         query._n_guide = (n_guided_pairs + n_refine) * cfg.n_guide_steps
     elif respaced:
@@ -487,12 +492,18 @@ def time_serving(q_serve, n_rounds=3, n_iters=8):
 
 
 def _bench_training(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
-                    steps_per_call=100, n_calls=5):
+                    steps_per_call=100, n_calls=5, batch_size=None,
+                    use_bf16=False):
     """Training throughput: the scan-fused 100-step train call on the real
     Dense2D dataset with the trained model's exact config — same shapes as
     scripts/train.py, so the compile is shared with real runs via the
     persistent cache (ref workload: 500k steps, batch 128, lr 3e-4;
-    launch_train_01.py:24,87)."""
+    launch_train_01.py:24,87). `batch_size`/`use_bf16` override the
+    checkpoint config for the scaled TPU-first lanes (VERDICT r3 #1: batch
+    128 f32 is the MXU-starvation regime — the large-batch/bf16 levers the
+    sampler lanes ride were never measured for training)."""
+    import functools
+
     import yaml
 
     import jax
@@ -513,19 +524,23 @@ def _bench_training(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
         unet_input_dim=margs["unet_input_dim"],
         dim_mults=UNET_DIM_MULTS[margs["unet_dim_mults_option"]],
     )
-    cfg = TrainConfig(batch_size=margs.get("batch_size", 128),
-                      lr=margs.get("lr", 3e-4))
+    cfg = TrainConfig(batch_size=batch_size or margs.get("batch_size", 128),
+                      lr=margs.get("lr", 3e-4), use_bf16=use_bf16)
     trainer = Trainer(net, make_schedule(margs["variance_schedule"],
                                          margs["n_diffusion_steps"]),
                       ds.trajs_normalized, cfg, seed=0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, key):
         keys = jrandom.split(key, steps_per_call)
-        state, losses = jax.lax.scan(trainer._train_step, state, keys)
+        state, losses = jax.lax.scan(trainer.step_fn, state, keys)
         return state, losses.mean()
 
     key = jrandom.PRNGKey(0)
+    # cost-analyze ONE unscanned step BEFORE the state is donated
+    # (analyzing multi_step would count the scan body once, understating
+    # flops by steps_per_call; see chain_cost)
+    fl, _ = query_cost(trainer._train_step, trainer.state, key)
     state, _ = multi_step(trainer.state, key)  # compile + warm
     jax.block_until_ready(state)
     t0 = time.perf_counter()
@@ -536,15 +551,13 @@ def _bench_training(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
     dt = time.perf_counter() - t0
     sps = n_calls * steps_per_call / dt
     out = {
-        "train_steps_per_sec": round(sps, 1),
-        "train_batch_size": cfg.batch_size,
+        "steps_per_sec": round(sps, 1),
+        "batch_size": cfg.batch_size,
+        "use_bf16": use_bf16,
     }
-    # cost-analyze ONE unscanned step (analyzing multi_step would count the
-    # scan body once, understating flops by steps_per_call; see chain_cost)
-    fl, _ = query_cost(trainer._train_step, trainer.state, key)
     m = mfu(fl, dt / (n_calls * steps_per_call))
     if m is not None:
-        out["train_mfu"] = round(m, 4)
+        out["mfu"] = round(m, 4)
     return out
 
 
@@ -861,11 +874,41 @@ def main():
     try:
         if past_deadline("training"):
             raise TimeoutError("lane deadline")
-        training = _bench_training()
-        log(f"training: {training['train_steps_per_sec']:.0f} steps/s"
-            f" (batch {training['train_batch_size']})")
+        tr = _bench_training()  # reference-parity lane: batch 128, f32
+        training = {
+            "train_steps_per_sec": tr["steps_per_sec"],
+            "train_batch_size": tr["batch_size"],
+        }
+        if "mfu" in tr:
+            training["train_mfu_b128_f32"] = tr["mfu"]
+        log(f"training: {tr['steps_per_sec']:.0f} steps/s"
+            f" (batch {tr['batch_size']}, reference-parity)")
     except Exception as e:
         log(f"training lane skipped: {e}")
+    try:
+        if past_deadline("training-scaled"):
+            raise TimeoutError("lane deadline")
+        # TPU-first scaled lane (VERDICT r3 #1): batch 1024 + bf16 — the
+        # winning config of the on-chip sweep (scripts/tune_train_batch.py,
+        # RESULTS.md "Training throughput"); quality-validated by a full
+        # 500k-step Dense2D run + N=100 eval (results_eval_train_b1024_bf16)
+        ts = _bench_training(batch_size=1024, use_bf16=True)
+        training.update({
+            "train_scaled_steps_per_sec": ts["steps_per_sec"],
+            "train_scaled_batch_size": ts["batch_size"],
+            "train_scaled_bf16": True,
+            "train_scaled_trajs_per_sec": round(
+                ts["steps_per_sec"] * ts["batch_size"], 1
+            ),
+        })
+        if "mfu" in ts:
+            # headline train_mfu = the quality-validated scaled config
+            training["train_mfu"] = ts["mfu"]
+        log(f"training scaled: {ts['steps_per_sec']:.0f} steps/s"
+            f" (batch {ts['batch_size']}, bf16,"
+            f" MFU {100*ts.get('mfu', 0):.1f}%)")
+    except Exception as e:
+        log(f"training scaled lane skipped: {e}")
 
     kernels_check = {}
     if jax.default_backend() == "tpu":

@@ -58,10 +58,11 @@ def main():
     for n in counts:
         B = args.per_device_batch * n
         mesh = make_mesh(n) if n > 1 else None
-        # fused="auto" everywhere: mesh points run the Pallas guide kernel
-        # shard_mapped over the candidate axis (parallel.shard_map_batch0),
-        # the same program family as n=1 — scaling_efficiency measures only
-        # collective/dispatch overhead, with the production fused guide live
+        # fused="auto" everywhere: on a REAL TPU backend the mesh points run
+        # the Pallas guide kernel shard_mapped over the candidate axis
+        # (parallel.shard_map_batch0), the same program family as n=1. On
+        # the virtual CPU mesh (MULTICHIP_r*.json runs) "auto" resolves to
+        # the autodiff guide — the JSON records which path was live.
         q = build_query(B, mesh=mesh, fused="auto")
         t = time_query(q, n_iters=args.n_iters)
         thpt = B / float(np.median(t))
@@ -73,6 +74,7 @@ def main():
             "trajs_per_sec": round(thpt, 1),
             "median_s": round(float(np.median(t)), 4),
             "scaling_efficiency": round(thpt / (base * n), 3),
+            "fused_guide_live": q._fused_guide_live,
         }), flush=True)
 
 

@@ -145,33 +145,61 @@ def make_panda_collision_grad(
         cs = _centers_scalar(origins, robot.segment_fractions)
 
         # ---- per-sphere SDF min over obstacles + hinge backward.
-        # Track the argmin obstacle's (unnormalized) offset while scanning
-        # and normalize ONCE after the loop — saves the per-obstacle inverse
-        # and three multiplies (~25% of the dominant loop). Constant center
-        # components (base-pillar spheres) are broadcast to full tiles
-        # first so every op stays a 2D VPU op.
+        # Track the argmin obstacle's (unnormalized) offset and normalize
+        # ONCE after the reduction — saves the per-obstacle inverse and
+        # three multiplies. Constant center components (base-pillar spheres)
+        # are broadcast to full tiles first so every op stays a 2D VPU op.
+        #
+        # Two restructurings of the original running-best scan (VERDICT r3
+        # next-step 2 — the scan's 14-deep (cmp + 4x where) dependence
+        # chain per sphere starved VPU issue at ~40% of peak):
+        # 1. SQUARED-distance min per radius GROUP: within a group of
+        #    obstacles sharing one radius, argmin(dist - r) == argmin(d2),
+        #    so the leaves are 3 sub + 3 fma with NO per-obstacle sqrt
+        #    (14 sqrts -> 1 per sphere for the uniform-radius Panda envs),
+        #    and the post-reduction |offset| recompute collapses into the
+        #    same sqrt (dist_b = sqrt(best_d2)).
+        # 2. PAIRWISE TREE merges instead of a serial scan: all leaves are
+        #    issue-parallel; the merge depth is ceil(log2(14)) = 4
+        #    dependent levels instead of 14.
         g_list = []
         for s in range(n_spheres):
             c = [
                 (comp + zeros) if isinstance(comp, float) else comp
                 for comp in cs[s]
             ]
-            best_d = zeros + _BIG
-            bdx = zeros
-            bdy = zeros
-            bdz = zeros
+
+            def tree_min(cands):
+                # pairwise tree-min on key cands[i][0]; ties keep the
+                # earliest entry, matching the serial scan's strict '<'
+                while len(cands) > 1:
+                    nxt = [
+                        tuple(
+                            jnp.where(cands[i + 1][0] < cands[i][0], b_, a_)
+                            for a_, b_ in zip(cands[i], cands[i + 1])
+                        )
+                        for i in range(0, len(cands) - 1, 2)
+                    ]
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                return cands[0]
+
+            by_radius = {}
             for ox, oy, oz, orad in obstacles:
-                dx = c[0] - ox
-                dy = c[1] - oy
-                dz = c[2] - oz
-                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                d_o = dist - orad
-                upd = d_o < best_d
-                best_d = jnp.where(upd, d_o, best_d)
-                bdx = jnp.where(upd, dx, bdx)
-                bdy = jnp.where(upd, dy, bdy)
-                bdz = jnp.where(upd, dz, bdz)
-            dist_b = jnp.sqrt(bdx * bdx + bdy * bdy + bdz * bdz)
+                by_radius.setdefault(orad, []).append((ox, oy, oz))
+            group_best = []
+            for orad, centers in by_radius.items():
+                cands = []
+                for ox, oy, oz in centers:
+                    dx = c[0] - ox
+                    dy = c[1] - oy
+                    dz = c[2] - oz
+                    cands.append((dx * dx + dy * dy + dz * dz, dx, dy, dz))
+                d2, bdx, bdy, bdz = tree_min(cands)
+                dist = jnp.sqrt(d2)
+                group_best.append((dist - orad, dist, bdx, bdy, bdz))
+            best_d, dist_b, bdx, bdy, bdz = tree_min(group_best)
             inv = jnp.where(
                 dist_b > 0.0, 1.0 / jnp.maximum(dist_b, 1e-30), 0.0
             )

@@ -35,6 +35,33 @@ UNET_DIM_MULTS = {
 }
 
 
+class _StateEncoderMLP(nn.Module):
+    """State encoder for the 'concatenate' conditioning mode when the
+    conditioning embedding dwarfs the state
+    (ref temporal_unet.py:44-52: MLP(state_dim, out_dim,
+    hidden_dim=out_dim//2, n_layers=1, act='mish')).
+
+    Mirrors the reference MLP's affine/mish structure
+    (ref layers/layers.py:12-35: Linear->mish, n_layers x [Linear->norm->
+    mish], Linear) minus the block's BatchNorm1d: torch's BatchNorm1d reads
+    dim 1 — the HORIZON on the [B, H, C] tensor this encoder is applied to
+    (ref forward, temporal_unet.py:127-130) — so the reference branch is
+    shape-invalid as written whenever H != hidden_dim; the norm is dropped
+    here (documented in PARITY.md)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mpd_tpu.nets.layers import mish
+
+        hidden = self.out_dim // 2
+        x = mish(nn.Dense(hidden, dtype=self.dtype)(x))
+        x = mish(nn.Dense(hidden, dtype=self.dtype)(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
+
+
 class TemporalUnet(nn.Module):
     """Conditioning modes (ref temporal_unet.py:41-59):
     - None (live reference config): time embedding only
@@ -75,11 +102,20 @@ class TemporalUnet(nn.Module):
         input_dim = self.state_dim
         if cond_type == "concatenate":
             assert context is not None
+            # ref temporal_unet.py:44-52: when the conditioning embedding is
+            # much larger than the state (state_dim < embed_dim // 4), embed
+            # the state into a latent of embed_dim // 4 channels first so
+            # the context doesn't drown it in the concatenation
+            state_emb_dim = self.state_dim
+            x_emb = x
+            if self.state_dim < self.conditioning_embed_dim // 4:
+                state_emb_dim = self.conditioning_embed_dim // 4
+                x_emb = _StateEncoderMLP(state_emb_dim, dtype=self.dtype)(x)
             ctx_h = jnp.broadcast_to(
                 context[:, None, :], (x.shape[0], x.shape[1], context.shape[-1])
             )
-            x = jnp.concatenate([x, ctx_h], axis=-1)
-            input_dim = input_dim + context.shape[-1]
+            x = jnp.concatenate([x_emb, ctx_h], axis=-1)
+            input_dim = state_emb_dim + context.shape[-1]
 
         dims = [input_dim] + [self.unet_input_dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))

@@ -20,6 +20,7 @@ redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
@@ -125,7 +126,13 @@ class Trainer:
             self.train_data = jax.device_put(self.train_data, repl)
             self.val_data = jax.device_put(self.val_data, repl)
 
-        self._train_step = jax.jit(self._make_train_step())
+        # unjitted step for lax.scan fusion (fit / bench scan this directly
+        # — scanning the jitted version would nest jits and drop donation);
+        # the jitted single-step donates the input state so params/opt/EMA
+        # (~64 MB for the flagship U-Net) update in place instead of
+        # allocating fresh buffers per call
+        self.step_fn = self._make_train_step()
+        self._train_step = jax.jit(self.step_fn, donate_argnums=(0,))
         self._val_loss = jax.jit(self._make_val_loss())
 
     # ------------------------------------------------------------------
@@ -214,9 +221,9 @@ class Trainer:
         num_steps = num_steps or cfg.num_train_steps
         key = key if key is not None else jax.random.PRNGKey(42)
 
-        scan_step = self._train_step
+        scan_step = self.step_fn
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def multi_step(state, key):
             keys = jax.random.split(key, steps_per_call)
             state, losses = jax.lax.scan(scan_step, state, keys)

@@ -94,12 +94,24 @@ class PlanningVisualizer:
                         color="0.5",
                         alpha=0.35,
                     )
-            if trajs is not None:
-                import jax.numpy as jnp
+            import jax.numpy as jnp
 
+            if trajs is not None:
                 for tr in np.asarray(trajs):
                     ee = np.asarray(self.robot.fk_ee(jnp.asarray(tr)))
                     ax.plot(ee[:, 0], ee[:, 1], ee[:, 2], lw=1.0, alpha=0.7)
+            # highlighted path + start/goal markers as EE-space equivalents
+            # of the 2D branch (training summaries pass the dataset
+            # trajectory here; ADVICE r3 #3)
+            if traj_best is not None:
+                eb = np.asarray(self.robot.fk_ee(jnp.asarray(traj_best)))
+                ax.plot(eb[:, 0], eb[:, 1], eb[:, 2], lw=2.5, color="C3",
+                        zorder=4)
+            for state, c, m in ((start_state, "C2", "o"), (goal_state, "C3", "*")):
+                if state is not None:
+                    q1 = jnp.asarray(state)[None, : self.robot.q_dim]
+                    es = np.asarray(self.robot.fk_ee(q1))[0]
+                    ax.scatter([es[0]], [es[1]], [es[2]], c=c, s=80, marker=m)
             lim = np.asarray(self.env.limits)
             ax.set_xlim(lim[0, 0], lim[1, 0])
             ax.set_ylim(lim[0, 1], lim[1, 1])

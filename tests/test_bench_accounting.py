@@ -23,8 +23,9 @@ def test_ddpm_chain_counts():
 
 def test_ddim_chain_counts():
     # 10 subsequence pairs + 5 refine forwards; guide on pairs with
-    # t_next < 7 (t_next in {6, 3, 0, -1}) plus every refine step, x5
-    assert _counts(ddim=True) == (15, 45)
+    # 0 <= t_next < 7 (t_next in {6, 3, 0} — the final (0, -1) pair breaks
+    # before the guide block, sampler.py) plus every refine step, x5
+    assert _counts(ddim=True) == (15, 40)
 
 
 def test_respaced_chain_counts():

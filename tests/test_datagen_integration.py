@@ -10,6 +10,12 @@ import numpy as np
 from mpd_tpu.core.experiment import Launcher
 from mpd_tpu.parallel import shard_contexts
 
+import pytest
+
+# cross-process integration lanes: >10 s each (VERDICT r3 #8); excluded
+# from the fast dev loop via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -17,6 +17,7 @@ def _interpret_mode(monkeypatch):
         yield
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_fused_unet_matches_flax():
     from mpd_tpu.kernels import pallas_unet_apply
 
@@ -32,6 +33,7 @@ def test_fused_unet_matches_flax():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_fused_unet_matches_flax_full_size():
     from mpd_tpu.kernels import pallas_unet_apply
 
@@ -71,6 +73,7 @@ def _panda_collision_setup(num_interp=32, **robot_kwargs):
     return robot, cost, x_phys, num_interp
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_panda_collision_grad_matches_autodiff():
     from mpd_tpu.world.task import interpolate_points
 

@@ -23,6 +23,10 @@ import sys
 import numpy as np
 import pytest
 
+# cross-process integration lanes: >10 s each (VERDICT r3 #8); excluded
+# from the fast dev loop via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_runtime_worker.py")
 

@@ -37,6 +37,7 @@ def test_unet_param_count_plausible():
     assert 1_000_000 < n < 10_000_000
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_unet_conditioning_modes():
     C = 4
     for mode in ("default", "attention", "concatenate"):
@@ -47,6 +48,40 @@ def test_unet_conditioning_modes():
         _, out = _init_and_run(net, 32, 4, context=True, C=C)
         assert out.shape == (3, 32, 4), mode
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_concatenate_state_encoder_branch():
+    """ref temporal_unet.py:44-52: with state_dim < conditioning_embed_dim
+    // 4 the state is embedded through a mish-MLP (out = embed_dim // 4,
+    hidden = out // 2) before concatenating the context; otherwise the raw
+    state is concatenated and NO encoder params exist."""
+    # active branch: state_dim 2 < 16 // 4 = 4 -> encoder with out_dim 4
+    net = TemporalUnet(
+        state_dim=2, n_support_points=32, unet_input_dim=16, dim_mults=(1, 2),
+        conditioning_type="concatenate", conditioning_embed_dim=16,
+    )
+    params, out = _init_and_run(net, 32, 2, context=True, C=16)
+    assert out.shape == (3, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    flat = {"/".join(map(str, k)): v for k, v in
+            jax.tree_util.tree_leaves_with_path(params)}
+    enc = {k: v for k, v in flat.items() if "_StateEncoderMLP" in k}
+    # 3 Dense layers (kernel+bias each): state_dim->hidden->hidden->out
+    kernels = sorted(v.shape for k, v in enc.items() if v.ndim == 2)
+    assert kernels == [(2, 2), (2, 2), (2, 4)]
+    # first conv consumes state_emb_dim + embed_dim = 4 + 16 channels
+    in_ch = [v.shape for k, v in flat.items() if v.ndim == 3]
+    assert any(s[-2] == 20 for s in in_ch)
+
+    # inactive branch: state_dim 4 >= 4 -> raw concat, no encoder params
+    net2 = TemporalUnet(
+        state_dim=4, n_support_points=32, unet_input_dim=16, dim_mults=(1, 2),
+        conditioning_type="concatenate", conditioning_embed_dim=16,
+    )
+    params2, _ = _init_and_run(net2, 32, 4, context=True, C=16)
+    flat2 = {"/".join(map(str, k)): v for k, v in
+             jax.tree_util.tree_leaves_with_path(params2)}
+    assert not any("_StateEncoderMLP" in k for k in flat2)
 
 
 def test_unet_self_attention_path():
@@ -89,6 +124,28 @@ def test_visualizer_smoke(tmp_path):
     )
     import os
     assert any(os.path.exists(str(tmp_path / f"anim.{ext}")) for ext in ("mp4", "gif"))
+
+
+def test_visualizer_panda_3d_highlighted_path(tmp_path):
+    """The 3D branch draws the traj_best EE trace + start/goal EE markers
+    (training summaries pass the dataset trajectory; ADVICE r3 #3)."""
+    from mpd_tpu.viz import PlanningVisualizer
+    from mpd_tpu.world import PlanningTask, get_env, get_robot
+
+    robot = get_robot("RobotPanda")
+    task = PlanningTask(env=get_env("EnvSpheres3D"), robot=robot)
+    viz = PlanningVisualizer(task)
+    rng = np.random.RandomState(0)
+    qmin, qmax = np.asarray(robot.q_min), np.asarray(robot.q_max)
+    trajs = rng.uniform(qmin, qmax, (2, 8, 7)).astype(np.float32)
+    fig, ax = viz.render_robot_trajectories(
+        trajs=trajs, traj_best=trajs[0], start_state=trajs[0, 0],
+        goal_state=trajs[0, -1],
+    )
+    # sampled traces + highlighted path drawn as Line3D; markers present
+    assert len(ax.lines) == 3
+    assert len(ax.collections) >= 2
+    fig.savefig(tmp_path / "panda_paths.png")
 
 
 def test_visualizer_panda_3d_animation(tmp_path):

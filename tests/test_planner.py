@@ -102,6 +102,7 @@ def test_guide_weight_sweep_shares_one_compile():
     np.testing.assert_allclose(r3.trajs_final, r_prior.trajs_final, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_plan_batch_matches_single_query_and_pins():
     """plan_batch (the one-dispatch multi-query serving path) must agree
     exactly with plan() at Q=1 (identical program modulo the chain output)

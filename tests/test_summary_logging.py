@@ -9,6 +9,7 @@ from mpd_tpu.diffusion import make_schedule
 from mpd_tpu.nets.temporal_unet import TemporalUnet
 from mpd_tpu.train.logging import ExperimentLogger
 from mpd_tpu.train.summary import rollout_summary
+import pytest
 
 
 def test_rollout_summary_metrics():
@@ -46,6 +47,7 @@ def test_interpolate_traj_via_points():
     np.testing.assert_allclose(np.asarray(out[:, -1]), np.asarray(x[:, -1]), atol=1e-6)
 
 
+@pytest.mark.slow  # >=19 s compile-heavy (fast loop: -m 'not slow')
 def test_summary_fires_during_fit():
     """Trainer.fit must invoke summary_fn + logger every
     config.steps_til_summary steps (VERDICT r1: the reference runs a
