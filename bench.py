@@ -286,10 +286,14 @@ def hbm_util(nbytes, seconds):
     return nbytes / seconds / V5E_PEAK_HBM_BYTES
 
 
-def _load_planner(model_dir, n_samples, w_coll, n_guide_steps):
+def _load_planner(model_dir, n_samples, w_coll, n_guide_steps, bf16=False):
     """Checkpoint -> MotionPlanner (params as traced args, so the compile
-    is shared with scripts/evaluate.py runs)."""
+    is shared with scripts/evaluate.py runs). `bf16` runs the eps-model
+    compute in bfloat16 (params/chain state stay f32; quality-neutral at
+    the headline configs on both robots — RESULTS.md bf16 rows)."""
     import yaml
+
+    import jax.numpy as jnp
 
     from mpd_tpu.data import TrajectoryDataset
     from mpd_tpu.diffusion import make_schedule
@@ -310,6 +314,7 @@ def _load_planner(model_dir, n_samples, w_coll, n_guide_steps):
         state_dim=margs["state_dim"], n_support_points=margs["n_support_points"],
         unet_input_dim=margs["unet_input_dim"],
         dim_mults=UNET_DIM_MULTS[margs["unet_dim_mults_option"]],
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     trainer = Trainer(net, make_schedule(margs["variance_schedule"], margs["n_diffusion_steps"]),
                       ds.trajs_normalized, TrainConfig(), seed=0)
@@ -341,14 +346,17 @@ def _draw_query_pairs(ds, n, seed=30):
 
 
 def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
-                      n_samples=100, respaced=False):
+                      n_samples=100, respaced=False, bf16=False):
     """The 7-DoF headline lane: trained Panda checkpoint, 100 candidates,
     w_coll=5e-2, 15 guide steps (the RESULTS.md operating point that gives
     100/100 success at N=100; gs10 scores 0.99 over N=200). With
     `respaced`, the Panda fast lane: dense-head-15 respaced-DDPM (20
     eps-forwards vs 30) — quality-matched to this headline at N=100
-    (1.00 success / 0.767 vs 0.774 fraction-free, RESULTS.md)."""
-    planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2, n_guide_steps=15)
+    (1.00 success / 0.767 vs 0.774 fraction-free, RESULTS.md). `bf16`
+    runs the eps-model in bfloat16 (quality rows:
+    results_eval_bf16_gs15 and the r4 respaced+bf16 eval)."""
+    planner, ds = _load_planner(model_dir, n_samples, w_coll=5e-2,
+                                n_guide_steps=15, bf16=bf16)
     if respaced:
         from mpd_tpu.planner import MotionPlanner, PlannerConfig
 
@@ -372,7 +380,7 @@ def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500
 
 def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
                         Q=16, n_samples=50, w_coll=3e-2, n_guide_steps=5,
-                        respaced_times=None):
+                        respaced_times=None, bf16=False):
     """Serving lane: Q planning queries per device call via plan_batch —
     the one-dispatch multi-query path that amortizes the per-call
     host<->device latency (the floor on single-query p50). Returns a
@@ -382,7 +390,7 @@ def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass
     import jax.numpy as jnp
 
     planner, ds = _load_planner(model_dir, n_samples, w_coll=w_coll,
-                                n_guide_steps=n_guide_steps)
+                                n_guide_steps=n_guide_steps, bf16=bf16)
     if respaced_times is not None:
         from mpd_tpu.planner import MotionPlanner
 
@@ -774,6 +782,26 @@ def main():
     except Exception as e:
         log(f"Panda large-batch lane skipped: {e}")
 
+    log("compiling Panda large-batch bf16 lane...")
+    try:
+        if past_deadline("Panda large-batch bf16"):
+            raise TimeoutError("lane deadline")
+        # bf16 eps-model at the same operating point (VERDICT r3 #3: the
+        # 2D lanes took the quality-validated bf16 win in r3; the Panda
+        # lanes were f32-only). Quality: results_eval_bf16_gs15.
+        q_pb16 = build_query(B_panda_big, env_id="EnvSpheres3D",
+                             robot_id="RobotPanda", n_guide_steps=15,
+                             w_coll=5e-2, bf16=True)
+        jax.block_until_ready([q_pb16(k) for k in keys[:4]])
+        t_pb16 = time_pipelined(q_pb16)
+        panda_big["panda_trajs_per_sec_large_batch_bf16"] = round(
+            B_panda_big / t_pb16, 1
+        )
+        log(f"Panda large-batch bf16 pipelined: {t_pb16*1e3:.1f} ms/query -> "
+            f"{B_panda_big/t_pb16:.0f} trajs/s")
+    except Exception as e:
+        log(f"Panda large-batch bf16 lane skipped: {e}")
+
     log("compiling serving lane (plan_batch, Q=16 x 50 samples)...")
     serving = {}
     try:
@@ -831,10 +859,14 @@ def main():
             raise TimeoutError("lane deadline")
         # serving default for the Panda: dense-head-15 respaced chain at
         # gs15 (quality-matched to the DDPM-25 headline over N=200,
-        # RESULTS.md) — 20 eps-forwards per query instead of 30. An
-        # interleaved on-chip A/B measured respaced 25.9 vs DDPM 31.9
-        # ms/query at each lane's best round (tunnel service-rate drift
-        # swings single rounds by 2x, hence best-of-rounds below).
+        # RESULTS.md) — 20 eps-forwards per query instead of 30. The
+        # eps-model stays f32: the Panda chain is guide(VPU)-dominated, and
+        # an on-chip A/B at B=1024 measured bf16 throughput-NEUTRAL
+        # (86.0 -> 86.6 ms/query; RESULTS.md r4), unlike the 2D lane's +7%
+        # — the panda_*_bf16 large-batch field tracks this. An interleaved
+        # on-chip A/B measured respaced 25.9 vs DDPM 31.9 ms/query at each
+        # lane's best round (tunnel service-rate drift swings single
+        # rounds by 2x, hence best-of-rounds below).
         q_pserve, Qp = build_serving_batch(
             model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
             Q=8, n_samples=100, w_coll=5e-2, n_guide_steps=15,
@@ -847,11 +879,39 @@ def main():
             "panda_serving_p50_s_per_query": round(t_q, 5),
             "panda_serving_queries_per_sec": round(1.0 / t_q, 1),
             "panda_serving_batch_queries": Qp,
+            "panda_serving_lane": "respaced_dh15_gs15",
         }
         log(f"Panda serving: {t_q*1e3:.1f} ms/query amortized"
             f" ({1.0/t_q:.0f} queries/s)")
     except Exception as e:
         log(f"Panda serving lane skipped: {e}")
+
+    log("compiling Panda fast serving lane (plan_batch, Q=16 x 100 samples,"
+        " respaced dense-head-15)...")
+    panda_serving_fast = {}
+    try:
+        if past_deadline("Panda fast serving"):
+            raise TimeoutError("lane deadline")
+        # Q past the knee (VERDICT r3 #4: the 2D fast lane's Q-sweep
+        # methodology applied to the Panda): Q=16 x 100 candidates = 1600
+        # per dispatch, past the B=1024 large-batch operating point
+        q_pfs, Qpf = build_serving_batch(
+            model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
+            Q=16, n_samples=100, w_coll=5e-2, n_guide_steps=15,
+            respaced_times=(0, 3, 6, 9, 12, 15, 16, 17, 18,
+                            19, 20, 21, 22, 23, 24),
+        )
+        q_pfs(jrandom.PRNGKey(0))
+        t_q = time_serving(q_pfs) / Qpf
+        panda_serving_fast = {
+            "panda_serving_fast_p50_s_per_query": round(t_q, 5),
+            "panda_serving_fast_queries_per_sec": round(1.0 / t_q, 1),
+            "panda_serving_fast_batch_queries": Qpf,
+        }
+        log(f"Panda fast serving: {t_q*1e3:.1f} ms/query amortized"
+            f" ({1.0/t_q:.0f} queries/s)")
+    except Exception as e:
+        log(f"Panda fast serving lane skipped: {e}")
 
     log("compiling Panda respaced fast lane (dense-head-15, 20 forwards)...")
     panda_respaced = {}
@@ -955,6 +1015,7 @@ def main():
         **serving,
         **serving_fast,
         **panda_serving,
+        **panda_serving_fast,
         **training,
         **kernels_check,
     }

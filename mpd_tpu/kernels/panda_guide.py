@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from mpd_tpu.world.primitives import ObjectSet
 from mpd_tpu.world.robots import (
+    _PANDA_DH,
     RobotPanda,
     _centers_scalar,
     _fk_scalar_chain,
@@ -122,6 +123,42 @@ def make_panda_collision_grad(
     margin = float(margin)
     inv_two_sigma2 = 1.0 / (2.0 * float(sigma) ** 2)
 
+    # ---- EXACT static (sphere, obstacle) pruning (r4). A collision
+    # sphere's center can never leave the ball of radius Rmax_s around the
+    # base (Rmax from the triangle inequality over the DH translations —
+    # a SOUND over-estimate of reach). If even at closest approach
+    # ‖o‖ - Rmax_s the pair stays outside the hinge threshold
+    # margin + r_s, the obstacle can never contribute gradient: either it
+    # is not the argmin (dropping it changes nothing) or it is, in which
+    # case best_d > margin + r_s zeroes the hinge — and any other argmin
+    # after dropping is farther still, so its hinge is zero too. The
+    # gradient is therefore IDENTICAL with the pair removed. On
+    # EnvSpheres3D this removes ~27% of the 210 sphere-obstacle pairs and
+    # eliminates the (constant-position) segment-0 shoulder spheres
+    # entirely — their zero cotangent folds out of the FK backward at
+    # trace time (_fk_spheres_backward_scalar handles float 0.0).
+    trans = [float(np.hypot(a, d)) for a, d, _ in np.asarray(_PANDA_DH)]
+    r_orig = [0.0]
+    for t in trans:
+        r_orig.append(r_orig[-1] + t)
+    sphere_rmax = []
+    for u in robot.segment_fractions:
+        for seg in range(7):
+            sphere_rmax.append(
+                (1.0 - u) * r_orig[seg + 1] + u * r_orig[seg + 2]
+            )
+    sphere_rmax.append(r_orig[8])  # hand sphere at the flange
+    assert len(sphere_rmax) == n_spheres
+    active_obstacles = []
+    for s in range(n_spheres):
+        keep = []
+        for ox, oy, oz, orad in obstacles:
+            o_norm = float(np.sqrt(ox * ox + oy * oy + oz * oz))
+            lower_bound = o_norm - sphere_rmax[s] - orad
+            if lower_bound <= margin + radii[s] + 1e-6:
+                keep.append((ox, oy, oz, orad))
+        active_obstacles.append(keep)
+
     def kernel(q_ref, w_ref, wt_ref, out_ref):
         # q_ref: [7, bb, H]; w_ref: [H, N]; wt_ref: [N, H]; out_ref: [7, bb, H]
         W = w_ref[:]
@@ -164,6 +201,11 @@ def make_panda_collision_grad(
         #    dependent levels instead of 14.
         g_list = []
         for s in range(n_spheres):
+            if not active_obstacles[s]:
+                # statically unreachable sphere: exact-zero cotangent,
+                # folded out of the FK backward at trace time
+                g_list.append([0.0, 0.0, 0.0])
+                continue
             c = [
                 (comp + zeros) if isinstance(comp, float) else comp
                 for comp in cs[s]
@@ -186,7 +228,7 @@ def make_panda_collision_grad(
                 return cands[0]
 
             by_radius = {}
-            for ox, oy, oz, orad in obstacles:
+            for ox, oy, oz, orad in active_obstacles[s]:
                 by_radius.setdefault(orad, []).append((ox, oy, oz))
             group_best = []
             for orad, centers in by_radius.items():

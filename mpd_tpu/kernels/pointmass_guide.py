@@ -108,26 +108,44 @@ def make_pointmass_collision_grad(
         )
         px = jnp.dot(q_ref[0], W, **kw)  # [bb, N]
         py = jnp.dot(q_ref[1], W, **kw)
-        zeros = px * 0.0
+        # SDF min restructured like the Panda kernel (VERDICT r3 #2):
+        # pairwise TREE merges (issue-parallel leaves, log2 merge depth)
+        # instead of a serial running-best scan, with the sphere min run on
+        # SQUARED distances per radius group — argmin(dist - r) ==
+        # argmin(d2) within a group — so the per-sphere sqrt disappears
+        # (one sqrt per group) and, since ‖offset‖ == dist of the winning
+        # sphere, that same sqrt normalizes the group's gradient: every
+        # candidate entering the final merge carries a FINISHED gradient
+        # and the post-loop sphere-normalization pass is gone.
+        def tree_min(cands):
+            # ties keep the earliest entry, matching the old scan's '<'
+            while len(cands) > 1:
+                nxt = [
+                    tuple(
+                        jnp.where(cands[i + 1][0] < cands[i][0], b_, a_)
+                        for a_, b_ in zip(cands[i], cands[i + 1])
+                    )
+                    for i in range(0, len(cands) - 1, 2)
+                ]
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            return cands[0]
 
-        # argmin bookkeeping: spheres store the UNNORMALIZED offset and set
-        # the `sph` flag (normalized once after the loop — saves the
-        # per-obstacle inverse + multiplies); boxes store the finished
-        # gradient and clear the flag.
-        best_d = zeros + _BIG
-        bgx = zeros
-        bgy = zeros
-        sph = zeros
+        by_radius = {}
         for cx, cy, orad in spheres:
-            dx = px - cx
-            dy = py - cy
-            dist = jnp.sqrt(dx * dx + dy * dy)
-            d_o = dist - orad
-            upd = d_o < best_d
-            best_d = jnp.where(upd, d_o, best_d)
-            bgx = jnp.where(upd, dx, bgx)
-            bgy = jnp.where(upd, dy, bgy)
-            sph = jnp.where(upd, 1.0, sph)
+            by_radius.setdefault(orad, []).append((cx, cy))
+        cands = []
+        for orad, centers in by_radius.items():
+            leaves = []
+            for cx, cy in centers:
+                dx = px - cx
+                dy = py - cy
+                leaves.append((dx * dx + dy * dy, dx, dy))
+            d2, bdx, bdy = tree_min(leaves)
+            dist = jnp.sqrt(d2)
+            inv = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+            cands.append((dist - orad, bdx * inv, bdy * inv))
         for cx, cy, hx, hy in boxes:
             ux = px - cx
             uy = py - cy
@@ -149,18 +167,10 @@ def make_pointmass_collision_grad(
             interior = qmax < 0.0
             gx = gx + jnp.where(interior & (qx >= qy), jnp.sign(ux), 0.0)
             gy = gy + jnp.where(interior & (qy > qx), jnp.sign(uy), 0.0)
-            upd = d_o < best_d
-            best_d = jnp.where(upd, d_o, best_d)
-            bgx = jnp.where(upd, gx, bgx)
-            bgy = jnp.where(upd, gy, bgy)
-            sph = jnp.where(upd, 0.0, sph)
-
-        # normalize where the argmin was a sphere (box grads are finished)
-        nrm = jnp.sqrt(bgx * bgx + bgy * bgy)
-        inv_n = jnp.where(nrm > 0.0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
-        scale = jnp.where(sph > 0.5, inv_n, 1.0)
+            cands.append((d_o, gx, gy))
+        best_d, bgx, bgy = tree_min(cands)
         coef = jnp.where(
-            margin + r_robot - best_d > 0.0, -inv_two_sigma2 * scale, 0.0
+            margin + r_robot - best_d > 0.0, -inv_two_sigma2, 0.0
         )
         Wt = wt_ref[:]
         out_ref[0] = jnp.dot(coef * bgx, Wt, **kw)

@@ -91,6 +91,14 @@ class PlannerConfig:
     # the t<7 window + the n_extra noiseless tail).
     use_respaced: bool = False
     respaced_times: Optional[Tuple[int, ...]] = None
+    # pure-guide refinement tail appended AFTER the sampling chain. For
+    # 'diffusion_prior_then_guide' 0 means the reference's full tail of
+    # (t_start_guide + n_extra) * n_guide_steps steps (ref
+    # inference.py:263-282); a positive value overrides that count. For
+    # 'mpd' it appends a SHORT tail after the guided chain — the hybrid
+    # between the two reference variants (the guided chain's diversity
+    # plus a few deterministic push-out-of-collision steps; VERDICT r3 #5).
+    n_post_guide_steps: int = 0
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
     # the backend is a real TPU; "on"/"interpret"/"off" force — see
     # kernels/{panda,pointmass}_guide.py). Covers Panda in sphere-only 3D
@@ -249,12 +257,15 @@ class MotionPlanner:
         use_guide_in_chain = config.planner_alg == "mpd"
 
         B, D = config.n_samples, dataset.state_dim
-        n_post_steps = (
-            (t_start_guide + config.n_diffusion_steps_without_noise)
-            * config.n_guide_steps
-            if config.planner_alg == "diffusion_prior_then_guide"
-            else 0
-        )
+        if config.planner_alg == "diffusion_prior_then_guide":
+            n_post_steps = config.n_post_guide_steps or (
+                (t_start_guide + config.n_diffusion_steps_without_noise)
+                * config.n_guide_steps
+            )
+        elif config.planner_alg == "mpd":
+            n_post_steps = config.n_post_guide_steps
+        else:
+            n_post_steps = 0
 
         def _query(key: jax.Array, hard_conds: HardConds, params, guide_weights):
             step_eps_fn = (

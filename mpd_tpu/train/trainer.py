@@ -112,7 +112,9 @@ class Trainer:
         )
         self.state = TrainState(
             params=params,
-            ema_params=params,
+            # distinct buffers: the donated train step may not receive the
+            # same buffer twice (params is EMA's init value)
+            ema_params=jax.tree.map(jnp.copy, params),
             opt_state=self.tx.init(params),
             step=jnp.asarray(0, jnp.int32),
         )

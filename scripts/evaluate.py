@@ -72,6 +72,11 @@ def main():
                         "jax.grad path; see kernels/panda_guide.py)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
+    p.add_argument("--n-post-guide-steps", type=int, default=0,
+                   help="pure-guide refinement tail after the chain: for "
+                        "'mpd' a short hybrid tail (VERDICT r3 #5), for "
+                        "'diffusion_prior_then_guide' overrides the default "
+                        "(t_start+extra)*n_guide tail; 0 = variant default")
     p.add_argument("--bf16", action="store_true",
                    help="run the eps-model in bfloat16 (params + activations)")
     p.add_argument("--spheres-per-segment", type=int, default=None,
@@ -145,6 +150,7 @@ def main():
             respaced_times=(tuple(int(t) for t in args.respaced_times.split(","))
                             if args.respaced_times else None),
             fused_collision_guide=args.fused_collision,
+            n_post_guide_steps=args.n_post_guide_steps,
         ),
     )
 

@@ -46,6 +46,9 @@ def main():
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
+    p.add_argument("--n-post-guide-steps", type=int, default=0,
+                   help="pure-guide tail after the chain (mpd hybrid / "
+                        "prior_then_guide override); 0 = variant default")
     p.add_argument("--use-respaced", action="store_true",
                    help="respaced-DDPM fast lane (see evaluate.py)")
     p.add_argument("--n-devices", type=int, default=0,
@@ -125,6 +128,7 @@ def main():
             ddim_refine_steps=args.ddim_refine_steps,
             ddim_refine_anneal_t=args.ddim_refine_anneal_t,
             use_respaced=args.use_respaced,
+            n_post_guide_steps=args.n_post_guide_steps,
         ),
     )
 

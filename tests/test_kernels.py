@@ -276,3 +276,69 @@ def test_pointmass_box_interior_gradient():
         np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-6
     )
     assert float(jnp.abs(ref).max()) > 0
+
+
+def test_panda_prune_reach_bound_is_sound():
+    """The kernel's static (sphere, obstacle) pruning rests on the
+    triangle-inequality reach bound Rmax_s >= max_q ||center_s(q)||
+    (kernels/panda_guide.py r4). Sample the joint box densely and assert
+    no sphere center ever exceeds its bound; also check the bound's
+    derivation quantities stay in sync with the robot's sphere layout."""
+    from mpd_tpu.world.robots import _PANDA_DH, RobotPanda
+
+    robot = RobotPanda()
+    trans = [float(np.hypot(a, d)) for a, d, _ in np.asarray(_PANDA_DH)]
+    r_orig = [0.0]
+    for t in trans:
+        r_orig.append(r_orig[-1] + t)
+    rmax = []
+    for u in robot.segment_fractions:
+        for seg in range(7):
+            rmax.append((1.0 - u) * r_orig[seg + 1] + u * r_orig[seg + 2])
+    rmax.append(r_orig[8])
+    rmax = np.asarray(rmax)
+    assert rmax.shape == (len(robot.collision_sphere_radii),)
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.uniform(
+        key, (4096, 7),
+        minval=jnp.asarray(robot.q_min), maxval=jnp.asarray(robot.q_max),
+    )
+    centers = np.asarray(robot.collision_sphere_positions(q))  # [B, S, 3]
+    norms = np.linalg.norm(centers, axis=-1)  # [B, S]
+    assert (norms.max(axis=0) <= rmax + 1e-5).all(), (
+        norms.max(axis=0), rmax
+    )
+
+
+def test_panda_prune_keeps_gradient_exact_near_threshold():
+    """Pruned kernel vs autodiff on configurations biased toward the
+    workspace boundary (outstretched arm), where a too-tight reach bound
+    would show up as a missing hinge contribution."""
+    from mpd_tpu.costs.cost_functions import CostCollision
+    from mpd_tpu.world import get_env, get_robot
+    from mpd_tpu.world.task import interpolate_points
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    cost = CostCollision(robot, 16, field=env.objects, sigma_coll=1.0,
+                         cutoff_margin=0.05)
+    # near-zero q2/q4/q6 stretches the arm toward max reach
+    rng = np.random.RandomState(1)
+    q = rng.uniform(-0.15, 0.15, (24, 16, 7)).astype(np.float32)
+    q[..., 1] += 1.2  # shoulder forward, EE sweeping the outer shell
+    q = np.clip(q, np.asarray(robot.q_min) + 1e-3,
+                np.asarray(robot.q_max) - 1e-3)
+    x = jnp.concatenate(
+        [jnp.asarray(q), jnp.zeros((24, 16, 7), jnp.float32)], axis=-1
+    )
+
+    def total_cost(xx):
+        return jnp.sum(cost(xx, interpolate_points(xx, 64)))
+
+    ref = jax.grad(total_cost)(x)
+    fused_fn = cost.make_fused_interp_gradient(64, interpret=True, min_batch=1)
+    fused = fused_fn(x)
+    assert float(jnp.abs(ref).max()) > 0
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
