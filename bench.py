@@ -380,13 +380,17 @@ def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500
 
 def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
                         Q=16, n_samples=50, w_coll=3e-2, n_guide_steps=5,
-                        respaced_times=None, bf16=False):
+                        respaced_times=None, bf16=False,
+                        return_all_trajs=True):
     """Serving lane: Q planning queries per device call via plan_batch —
     the one-dispatch multi-query path that amortizes the per-call
     host<->device latency (the floor on single-query p50). Returns a
     closure whose wall-clock / Q is the amortized per-query latency.
     `respaced_times` switches the chain to the respaced-DDPM serving
-    default (fewer eps-forwards at matched quality, RESULTS.md)."""
+    default (fewer eps-forwards at matched quality, RESULTS.md).
+    `return_all_trajs=False` is the best-only serving mode: only the
+    chosen plan + metrics cross the device boundary, not the [Q*B, H, D]
+    candidate tensor (megabytes/dispatch through the tunneled backend)."""
     import jax.numpy as jnp
 
     planner, ds = _load_planner(model_dir, n_samples, w_coll=w_coll,
@@ -405,7 +409,9 @@ def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass
     goals = jnp.stack([p[1] for p in pairs])
 
     def query(key):
-        return planner.plan_batch(key, starts, goals)
+        return planner.plan_batch(
+            key, starts, goals, return_all_trajs=return_all_trajs
+        )
 
     return query, Q
 
@@ -834,9 +840,13 @@ def main():
         # queries per dispatch. Q sweep on-chip: large Q amortizes the
         # per-dispatch overhead across 3200 candidates (the large-batch
         # operating point), and the respaced chain halves the forwards.
+        # best-only transfer since r4: the serving caller receives the
+        # chosen plan + metrics; the 64 x 50-candidate tensor (3.3 MB) no
+        # longer crosses the tunneled device boundary per dispatch
         q_fserve, Qf = build_serving_batch(
             Q=64, n_samples=50, w_coll=3e-2, n_guide_steps=10,
             respaced_times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
+            return_all_trajs=False,
         )
         q_fserve(jrandom.PRNGKey(0))
         t_q = time_serving(q_fserve) / Qf
@@ -845,6 +855,7 @@ def main():
             "serving_fast_queries_per_sec": round(1.0 / t_q, 1),
             "serving_fast_batch_queries": Qf,
             "serving_fast_lane": "respaced10_gs10_headline_quality",
+            "serving_fast_transfer": "best_only",
         }
         log(f"fast serving: {t_q*1e3:.2f} ms/query amortized"
             f" ({1.0/t_q:.0f} queries/s)")
@@ -900,6 +911,7 @@ def main():
             Q=16, n_samples=100, w_coll=5e-2, n_guide_steps=15,
             respaced_times=(0, 3, 6, 9, 12, 15, 16, 17, 18,
                             19, 20, 21, 22, 23, 24),
+            return_all_trajs=False,
         )
         q_pfs(jrandom.PRNGKey(0))
         t_q = time_serving(q_pfs) / Qpf
@@ -907,6 +919,7 @@ def main():
             "panda_serving_fast_p50_s_per_query": round(t_q, 5),
             "panda_serving_fast_queries_per_sec": round(1.0 / t_q, 1),
             "panda_serving_fast_batch_queries": Qpf,
+            "panda_serving_fast_transfer": "best_only",
         }
         log(f"Panda fast serving: {t_q*1e3:.1f} ms/query amortized"
             f" ({1.0/t_q:.0f} queries/s)")

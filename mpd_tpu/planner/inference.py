@@ -415,6 +415,9 @@ class MotionPlanner:
             costs = jnp.where(free_mask, cost_sm + cost_pl, jnp.inf)
             idx_best = jnp.argmin(costs, axis=1)  # [Q]
             best_cost = jnp.take_along_axis(costs, idx_best[:, None], 1)[:, 0]
+            best_traj = jnp.take_along_axis(
+                tq, idx_best[:, None, None, None], axis=1
+            )[:, 0]  # [Q, H, D]
             coll_intensity = coll_mask.astype(jnp.float32).mean(axis=(1, 2))
 
             w = free_mask.astype(tq.dtype)
@@ -427,6 +430,7 @@ class MotionPlanner:
             ).sum(-1)
             return dict(
                 trajs_final=tq,
+                best_traj=best_traj,
                 free_mask=free_mask,
                 cost_smoothness=cost_sm,
                 cost_path_length=cost_pl,
@@ -444,11 +448,21 @@ class MotionPlanner:
         starts: jnp.ndarray,  # [Q, q_dim]
         goals: jnp.ndarray,  # [Q, q_dim]
         guide_weights=None,
+        return_all_trajs: bool = True,
     ):
         """Plan Q queries in ONE device call; returns a list of
         PlanningResult (chains omitted). Amortizes the per-dispatch
         host<->device latency across the whole batch — the serving-path
-        counterpart of `plan` (see _make_batch_query)."""
+        counterpart of `plan` (see _make_batch_query).
+
+        `return_all_trajs=False` fetches only the per-query BEST
+        trajectory ([Q, H, D]) plus the scalar/per-candidate metrics
+        instead of the full [Q, B, H, D] candidate tensor — through the
+        tunneled backend the candidate tensor is megabytes per dispatch
+        and its device->host transfer can rival the device compute
+        (serving callers want the chosen plan, not 100 rejected
+        candidates); each PlanningResult.trajs_final then has shape
+        [1, H, D] and idx_best is 0."""
         import time
 
         starts = jnp.atleast_2d(starts)
@@ -477,6 +491,10 @@ class MotionPlanner:
         )
         t0 = time.perf_counter()
         dm = self._batch_queries[Q](key, conds, self.params, gw)
+        if not return_all_trajs:
+            # skip the [Q, B, H, D] candidate-tensor transfer entirely
+            dm = dict(dm)
+            del dm["trajs_final"]
         # single bulk device->host fetch: per-element indexing of device
         # arrays in the loop below would pay one tunneled round-trip
         # (~20 ms) per scalar — 4 scalars x Q queries swamped the device
@@ -484,7 +502,11 @@ class MotionPlanner:
         dm = jax.device_get(dm)
         t_total = time.perf_counter() - t0
 
-        trajs = dm["trajs_final"]
+        trajs = (
+            dm["trajs_final"]
+            if return_all_trajs
+            else dm["best_traj"][:, None]  # [Q, 1, H, D]
+        )
         free = dm["free_mask"]
         cost_sm = dm["cost_smoothness"]
         cost_pl = dm["cost_path_length"]
@@ -500,7 +522,11 @@ class MotionPlanner:
                     success=success,
                     fraction_free=float(free[qi].mean()),
                     collision_intensity=float(dm["collision_intensity"][qi]),
-                    idx_best=int(dm["idx_best"][qi]) if success else None,
+                    idx_best=(
+                        (int(dm["idx_best"][qi]) if return_all_trajs else 0)
+                        if success
+                        else None
+                    ),
                     cost_best=float(dm["best_cost"][qi]) if success else None,
                     cost_smoothness=cost_sm[qi][free_idxs] if success else None,
                     cost_path_length=cost_pl[qi][free_idxs] if success else None,

@@ -197,6 +197,24 @@ def test_plan_batch_matches_single_query_and_pins():
             np.broadcast_to(np.asarray(goals[qi]), (4, 2)), atol=1e-5,
         )
 
+    # best-only serving mode: skips the [Q,B,H,D] transfer; the returned
+    # single trajectory must equal the full-mode best candidate and every
+    # scalar metric must be unchanged (same compiled program, same key)
+    results_best = planner.plan_batch(
+        jax.random.PRNGKey(8), starts, goals, return_all_trajs=False
+    )
+    for r_full, r_best in zip(results, results_best):
+        assert r_best.trajs_final.shape == (1, 16, 4)
+        if r_full.success:
+            np.testing.assert_allclose(
+                r_best.trajs_final[0],
+                r_full.trajs_final[r_full.idx_best], atol=1e-6,
+            )
+            assert r_best.idx_best == 0
+            assert r_best.cost_best == pytest.approx(r_full.cost_best, rel=1e-6)
+        assert r_best.success == r_full.success
+        np.testing.assert_array_equal(r_best.free_mask, r_full.free_mask)
+
 
 def test_planner_respaced_variant_pins_and_differs_across_keys():
     """use_respaced runs the stochastic subsequence chain: endpoints pinned,
