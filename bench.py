@@ -788,6 +788,28 @@ def main():
     except Exception as e:
         log(f"Panda large-batch lane skipped: {e}")
 
+    log("compiling Panda respaced large-batch lane (dense-head-15, B=1024)...")
+    try:
+        if past_deadline("Panda respaced large-batch"):
+            raise TimeoutError("lane deadline")
+        # the Panda fast chain at scale: dense-head-15 respaced (20
+        # forwards, 120 guide evals vs DDPM-25's 30/180), quality-matched
+        # to the tail-free headline at pooled N=200 (RESULTS.md)
+        q_prb = build_query(B_panda_big, env_id="EnvSpheres3D",
+                            robot_id="RobotPanda", n_guide_steps=15,
+                            w_coll=5e-2, respaced=True,
+                            respaced_times=(0, 3, 6, 9, 12, 15, 16, 17, 18,
+                                            19, 20, 21, 22, 23, 24))
+        jax.block_until_ready([q_prb(k) for k in keys[:4]])
+        t_prb = time_pipelined(q_prb)
+        panda_big["panda_respaced_trajs_per_sec_large_batch"] = round(
+            B_panda_big / t_prb, 1
+        )
+        log(f"Panda respaced large-batch pipelined: {t_prb*1e3:.1f} ms/query"
+            f" -> {B_panda_big/t_prb:.0f} trajs/s")
+    except Exception as e:
+        log(f"Panda respaced large-batch lane skipped: {e}")
+
     log("compiling Panda large-batch bf16 lane...")
     try:
         if past_deadline("Panda large-batch bf16"):
