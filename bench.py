@@ -129,6 +129,9 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
         # under a mesh the kernel runs shard_mapped over the candidate axis
         # (parallel.shard_map_batch0) — same rule as MotionPlanner(mesh=...)
         mesh=mesh,
+        # full guide-step megakernel on the Panda (r4); no-op for the 2D
+        # composite (pointmass normalizer/robot outside its coverage)
+        normalizer=norm,
     )
     schedule = make_schedule("exponential", schedule_steps)
     cfg = SamplerConfig(n_guide_steps=n_guide_steps, t_start_guide=7,

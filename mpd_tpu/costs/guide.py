@@ -51,6 +51,7 @@ class GuideTrajectoriesWithVelocity:
         num_interpolated_points_for_collision: int = 128,
         fused_collision: str = "auto",
         mesh=None,
+        normalizer=None,
     ):
         self.unnormalize_fn = unnormalize_fn
         self.cost = cost
@@ -60,6 +61,7 @@ class GuideTrajectoriesWithVelocity:
         self.max_grad_value = float(max_grad_value)
         self.interpolate = interpolate_trajectories_for_collision
         self.num_interp = num_interpolated_points_for_collision
+        self._mesh = mesh
         # Pallas megakernel for collision-term gradients (TPU perf path —
         # see kernels/panda_guide.py). "auto": on when running on a real TPU
         # backend; "on"/"interpret": force (interpret = CPU parity tests);
@@ -92,6 +94,61 @@ class GuideTrajectoriesWithVelocity:
                     if fn is not None:
                         self._fused_grads[idx] = fn
 
+        # FULL guide-step megakernel (r4): when the composite is exactly
+        # the production Panda guide shape — [CostCollision (sphere-only
+        # 3D field), CostGPTrajectory], norm-clip, LimitsNormalizer — the
+        # entire __call__ (unnormalize -> collision grad -> GP grad ->
+        # per-term clip -> endpoint zeroing -> -sum(w*g)) runs as ONE
+        # Pallas program; the composed path below stays the fallback and
+        # the parity reference (kernels/panda_guide.py
+        # make_panda_guide_update docstring has the full semantics list).
+        self._full_guide = None
+        if (
+            self.interpolate
+            and fused_collision != "off"
+            and normalizer is not None
+            and self.clip_grad
+            and self.clip_grad_rule == "norm"
+        ):
+            want_full = fused_collision in ("on", "interpret") or (
+                fused_collision == "auto" and jax.default_backend() == "tpu"
+            )
+            if want_full:
+                self._full_guide = self._try_build_full_guide(
+                    normalizer, fused_collision == "interpret"
+                )
+
+    def _try_build_full_guide(self, normalizer, interpret: bool):
+        from mpd_tpu.costs.cost_functions import CostCollision, CostGPTrajectory
+        from mpd_tpu.data.normalization import LimitsNormalizer
+        from mpd_tpu.kernels.panda_guide import make_panda_guide_update
+
+        if not isinstance(normalizer, LimitsNormalizer):
+            return None
+        terms = self.cost.cost_list
+        if len(terms) != 2:
+            return None
+        coll, gp = terms
+        if not isinstance(coll, CostCollision) or not isinstance(
+            gp, CostGPTrajectory
+        ):
+            return None
+        if coll.squared:  # kernel implements the guidance (hinge) form only
+            return None
+        return make_panda_guide_update(
+            coll.robot,
+            coll.field,
+            margin=coll.cutoff_margin,
+            sigma=coll.sigma_coll,
+            normalizer_mins=normalizer.mins,
+            normalizer_maxs=normalizer.maxs,
+            dt=gp.dt,
+            sigma_gp=gp.sigma_gp,
+            num_interp=self.num_interp,
+            max_grad_norm=self.max_grad_norm,
+            interpret=interpret,
+        )
+
     def _clip_gradient(self, grad: jnp.ndarray) -> jnp.ndarray:
         if not self.clip_grad:
             return grad
@@ -108,6 +165,20 @@ class GuideTrajectoriesWithVelocity:
         scalars (e.g. a [n_terms] array argument of the jitted query) so
         weight sweeps reuse one compiled program instead of baking the
         floats into the HLO as constants."""
+        if self._full_guide is not None:
+            ws2 = (
+                jnp.asarray(self.cost.weights, jnp.float32)
+                if weights is None
+                else jnp.asarray(weights, jnp.float32)
+            )
+            if self._mesh is not None:
+                from mpd_tpu.parallel.mesh import shard_map_batch0
+
+                return shard_map_batch0(
+                    lambda x: self._full_guide(x, ws2), self._mesh
+                )(x_normalized)
+            return self._full_guide(x_normalized, ws2)
+
         x_phys = self.unnormalize_fn(x_normalized)
         ws = self.cost.weights if weights is None else weights
 

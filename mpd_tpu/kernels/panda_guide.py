@@ -1,4 +1,15 @@
-"""Pallas megakernel for the Panda collision-guide gradient.
+"""Pallas megakernels for the Panda guide: collision gradient + full step.
+
+Two kernels share the FK/SDF core:
+- `make_panda_collision_grad`: d(sum cost_coll(interp))/dq — the r2-r3
+  kernel, used by the composed guide path (and any caller wanting just the
+  collision gradient);
+- `make_panda_guide_update` (r4): the ENTIRE guide step
+  (unnormalize -> collision grad -> closed-form GP grad -> per-term
+  norm-clip -> endpoint zeroing -> -sum(w*g)) in one program. At B=1024
+  this cut the guide eval from ~344 us to ~160 us (the wrapper's
+  HBM-bound elementwise passes all stay in VMEM), lifting the Panda
+  DDPM-25 at-scale lane 11.9k -> 19.3k trajs/s.
 
 Why: the trace of a Panda guided query (B=100) shows 85% of device time in
 the guide — 120 guide evals at ~0.25 ms each, where each eval is a chain of
@@ -101,27 +112,15 @@ def _interp_matrix(H: int, N: int) -> np.ndarray:
     return W
 
 
-def make_panda_collision_grad(
-    robot: RobotPanda,
-    field: ObjectSet,
-    margin: float,
-    sigma: float,
-    num_interp: int = 128,
-    block_b: Optional[int] = None,
-    interpret: bool = False,
-) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
-    """Build fn(q [..., H, 7]) -> d(sum cost_coll(interp))/dq [..., H, 7].
+def _prune_obstacles(robot: RobotPanda, field: ObjectSet, margin: float):
+    """Per-sphere active-obstacle lists after EXACT static pruning.
 
-    Returns None when the (robot, field) pair is outside the kernel's
-    coverage; the caller should then keep the jax.grad path."""
-    if not supported(robot, field):
-        return None
-
+    Returns (radii, active_obstacles) where radii is the robot's
+    collision-sphere radius list and active_obstacles[s] the (x, y, z, r)
+    obstacles that can possibly contribute gradient for sphere s."""
     obstacles = _active_spheres(field)
     radii = [float(r) for r in np.asarray(robot.collision_sphere_radii)]
     n_spheres = len(radii)
-    margin = float(margin)
-    inv_two_sigma2 = 1.0 / (2.0 * float(sigma) ** 2)
 
     # ---- EXACT static (sphere, obstacle) pruning (r4). A collision
     # sphere's center can never leave the ball of radius Rmax_s around the
@@ -158,111 +157,143 @@ def make_panda_collision_grad(
             if lower_bound <= margin + radii[s] + 1e-6:
                 keep.append((ox, oy, oz, orad))
         active_obstacles.append(keep)
+    return radii, active_obstacles
+
+
+def _collision_grad_channels(
+    qi, zeros, robot, radii, active_obstacles, margin, inv_two_sigma2
+):
+    """Collision-cost gradient w.r.t. the 7 interpolated joint channels.
+
+    `qi`: 7 x [bb, N] interpolated joint tiles; returns grad_comps, a list
+    of 7 [bb, N] arrays (or trace-time 0.0). Shared by the collision-only
+    kernel and the full guide-update kernel."""
+    n_spheres = len(radii)
+
+    # ---- FK forward (scalar chain, shared with the custom VJP)
+    origins, axes, axis_pts = _fk_scalar_chain(qi, jnp, want_axes=True)
+    # n_spheres x [3]-lists, at the robot's collision-sphere density
+    cs = _centers_scalar(origins, robot.segment_fractions)
+
+    # ---- per-sphere SDF min over obstacles + hinge backward.
+    # Track the argmin obstacle's (unnormalized) offset and normalize
+    # ONCE after the reduction — saves the per-obstacle inverse and
+    # three multiplies. Constant center components (base-pillar spheres)
+    # are broadcast to full tiles first so every op stays a 2D VPU op.
+    #
+    # Two restructurings of the original running-best scan (VERDICT r3
+    # next-step 2 — the scan's 14-deep (cmp + 4x where) dependence
+    # chain per sphere starved VPU issue at ~40% of peak):
+    # 1. SQUARED-distance min per radius GROUP: within a group of
+    #    obstacles sharing one radius, argmin(dist - r) == argmin(d2),
+    #    so the leaves are 3 sub + 3 fma with NO per-obstacle sqrt
+    #    (14 sqrts -> 1 per sphere for the uniform-radius Panda envs),
+    #    and the post-reduction |offset| recompute collapses into the
+    #    same sqrt (dist_b = sqrt(best_d2)).
+    # 2. PAIRWISE TREE merges instead of a serial scan: all leaves are
+    #    issue-parallel; the merge depth is ceil(log2(14)) = 4
+    #    dependent levels instead of 14.
+    g_list = []
+    for s in range(n_spheres):
+        if not active_obstacles[s]:
+            # statically unreachable sphere: exact-zero cotangent,
+            # folded out of the FK backward at trace time
+            g_list.append([0.0, 0.0, 0.0])
+            continue
+        c = [
+            (comp + zeros) if isinstance(comp, float) else comp
+            for comp in cs[s]
+        ]
+
+        def tree_min(cands):
+            # pairwise tree-min on key cands[i][0]; ties keep the
+            # earliest entry, matching the serial scan's strict '<'
+            while len(cands) > 1:
+                nxt = [
+                    tuple(
+                        jnp.where(cands[i + 1][0] < cands[i][0], b_, a_)
+                        for a_, b_ in zip(cands[i], cands[i + 1])
+                    )
+                    for i in range(0, len(cands) - 1, 2)
+                ]
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            return cands[0]
+
+        by_radius = {}
+        for ox, oy, oz, orad in active_obstacles[s]:
+            by_radius.setdefault(orad, []).append((ox, oy, oz))
+        group_best = []
+        for orad, centers in by_radius.items():
+            cands = []
+            for ox, oy, oz in centers:
+                dx = c[0] - ox
+                dy = c[1] - oy
+                dz = c[2] - oz
+                cands.append((dx * dx + dy * dy + dz * dz, dx, dy, dz))
+            d2, bdx, bdy, bdz = tree_min(cands)
+            dist = jnp.sqrt(d2)
+            group_best.append((dist - orad, dist, bdx, bdy, bdz))
+        best_d, dist_b, bdx, bdy, bdz = tree_min(group_best)
+        inv = jnp.where(
+            dist_b > 0.0, 1.0 / jnp.maximum(dist_b, 1e-30), 0.0
+        )
+        coef = jnp.where(
+            margin + radii[s] - best_d > 0.0, -inv_two_sigma2 * inv, 0.0
+        )
+        g_list.append([coef * bdx, coef * bdy, coef * bdz])
+
+    # ---- FK backward (scalar suffix-sum, shared with the custom VJP)
+    return _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list)
+
+
+# HIGHEST precision: the TPU MXU's default bf16 multiplies lose ~3 digits
+# on joint angles (|q| up to ~3), visibly perturbing the hinge mask and
+# normals vs the exact gather+lerp reference path. Applies to every matmul
+# in these kernels (interp, its transpose, and the 0/1 shift matrices,
+# which must select elements exactly).
+_MATMUL_KW = dict(
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
+def make_panda_collision_grad(
+    robot: RobotPanda,
+    field: ObjectSet,
+    margin: float,
+    sigma: float,
+    num_interp: int = 128,
+    block_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Build fn(q [..., H, 7]) -> d(sum cost_coll(interp))/dq [..., H, 7].
+
+    Returns None when the (robot, field) pair is outside the kernel's
+    coverage; the caller should then keep the jax.grad path."""
+    if not supported(robot, field):
+        return None
+
+    margin = float(margin)
+    inv_two_sigma2 = 1.0 / (2.0 * float(sigma) ** 2)
+    radii, active_obstacles = _prune_obstacles(robot, field, margin)
 
     def kernel(q_ref, w_ref, wt_ref, out_ref):
         # q_ref: [7, bb, H]; w_ref: [H, N]; wt_ref: [N, H]; out_ref: [7, bb, H]
         W = w_ref[:]
         # ---- interpolate support points to N collision points (MXU)
-        # HIGHEST precision: the TPU MXU's default bf16 multiplies lose
-        # ~3 digits on joint angles (|q| up to ~3), visibly perturbing the
-        # hinge mask and normals vs the exact gather+lerp reference path
-        qi = [
-            jnp.dot(
-                q_ref[j], W,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            for j in range(7)
-        ]  # 7 x [bb, N]
+        qi = [jnp.dot(q_ref[j], W, **_MATMUL_KW) for j in range(7)]
         zeros = qi[0] * 0.0
-
-        # ---- FK forward (scalar chain, shared with the custom VJP)
-        origins, axes, axis_pts = _fk_scalar_chain(qi, jnp, want_axes=True)
-        # n_spheres x [3]-lists, at the robot's collision-sphere density
-        cs = _centers_scalar(origins, robot.segment_fractions)
-
-        # ---- per-sphere SDF min over obstacles + hinge backward.
-        # Track the argmin obstacle's (unnormalized) offset and normalize
-        # ONCE after the reduction — saves the per-obstacle inverse and
-        # three multiplies. Constant center components (base-pillar spheres)
-        # are broadcast to full tiles first so every op stays a 2D VPU op.
-        #
-        # Two restructurings of the original running-best scan (VERDICT r3
-        # next-step 2 — the scan's 14-deep (cmp + 4x where) dependence
-        # chain per sphere starved VPU issue at ~40% of peak):
-        # 1. SQUARED-distance min per radius GROUP: within a group of
-        #    obstacles sharing one radius, argmin(dist - r) == argmin(d2),
-        #    so the leaves are 3 sub + 3 fma with NO per-obstacle sqrt
-        #    (14 sqrts -> 1 per sphere for the uniform-radius Panda envs),
-        #    and the post-reduction |offset| recompute collapses into the
-        #    same sqrt (dist_b = sqrt(best_d2)).
-        # 2. PAIRWISE TREE merges instead of a serial scan: all leaves are
-        #    issue-parallel; the merge depth is ceil(log2(14)) = 4
-        #    dependent levels instead of 14.
-        g_list = []
-        for s in range(n_spheres):
-            if not active_obstacles[s]:
-                # statically unreachable sphere: exact-zero cotangent,
-                # folded out of the FK backward at trace time
-                g_list.append([0.0, 0.0, 0.0])
-                continue
-            c = [
-                (comp + zeros) if isinstance(comp, float) else comp
-                for comp in cs[s]
-            ]
-
-            def tree_min(cands):
-                # pairwise tree-min on key cands[i][0]; ties keep the
-                # earliest entry, matching the serial scan's strict '<'
-                while len(cands) > 1:
-                    nxt = [
-                        tuple(
-                            jnp.where(cands[i + 1][0] < cands[i][0], b_, a_)
-                            for a_, b_ in zip(cands[i], cands[i + 1])
-                        )
-                        for i in range(0, len(cands) - 1, 2)
-                    ]
-                    if len(cands) % 2:
-                        nxt.append(cands[-1])
-                    cands = nxt
-                return cands[0]
-
-            by_radius = {}
-            for ox, oy, oz, orad in active_obstacles[s]:
-                by_radius.setdefault(orad, []).append((ox, oy, oz))
-            group_best = []
-            for orad, centers in by_radius.items():
-                cands = []
-                for ox, oy, oz in centers:
-                    dx = c[0] - ox
-                    dy = c[1] - oy
-                    dz = c[2] - oz
-                    cands.append((dx * dx + dy * dy + dz * dz, dx, dy, dz))
-                d2, bdx, bdy, bdz = tree_min(cands)
-                dist = jnp.sqrt(d2)
-                group_best.append((dist - orad, dist, bdx, bdy, bdz))
-            best_d, dist_b, bdx, bdy, bdz = tree_min(group_best)
-            inv = jnp.where(
-                dist_b > 0.0, 1.0 / jnp.maximum(dist_b, 1e-30), 0.0
-            )
-            coef = jnp.where(
-                margin + radii[s] - best_d > 0.0, -inv_two_sigma2 * inv, 0.0
-            )
-            g_list.append([coef * bdx, coef * bdy, coef * bdz])
-
-        # ---- FK backward (scalar suffix-sum, shared with the custom VJP)
-        grad_comps = _fk_spheres_backward_scalar(axes, axis_pts, cs, g_list)
-
+        grad_comps = _collision_grad_channels(
+            qi, zeros, robot, radii, active_obstacles, margin, inv_two_sigma2
+        )
         # ---- interpolation transpose back to support points (MXU)
         Wt = wt_ref[:]
         for j in range(7):
             gj = grad_comps[j]
             gj = (gj + zeros) if isinstance(gj, float) else gj
-            out_ref[j] = jnp.dot(
-                gj, Wt,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            out_ref[j] = jnp.dot(gj, Wt, **_MATMUL_KW)
 
     def apply(q: jnp.ndarray) -> jnp.ndarray:
         lead = q.shape[:-2]
@@ -309,5 +340,212 @@ def make_panda_collision_grad(
 
         g = out.transpose(1, 2, 0)[:B].astype(q.dtype)  # [B, H, 7]
         return g.reshape(lead + (H, 7))
+
+    return apply
+
+
+def _shift_left_matrix(H: int) -> np.ndarray:
+    """[H, H] 0/1 matrix: (x @ SL)[:, t] = x[:, t+1], last column 0.
+
+    Lane-dimension shifts inside the kernel are done as MXU matmuls with
+    this exact selector (HIGHEST precision keeps them bitwise) — no
+    reliance on Mosaic roll/slice lowering along the lane axis."""
+    SL = np.zeros((H, H), np.float32)
+    for t in range(H - 1):
+        SL[t + 1, t] = 1.0
+    return SL
+
+
+def make_panda_guide_update(
+    robot: RobotPanda,
+    field: ObjectSet,
+    margin: float,
+    sigma: float,
+    normalizer_mins,
+    normalizer_maxs,
+    dt: float,
+    sigma_gp: float = 1.0,
+    num_interp: int = 128,
+    max_grad_norm: float = 1.0,
+    block_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Optional[Callable]:
+    """FULL guide-step megakernel: fn(x_norm [..., H, 14], weights [2]) ->
+    guide update [..., H, 14] — the entire
+    `GuideTrajectoriesWithVelocity.__call__` for the production Panda
+    composite (CostCollision + CostGPTrajectory, norm-clip, endpoint
+    zeroing) in ONE Pallas program.
+
+    Motivation (r4): at B=1024 the collision kernel is ~150-200 us of a
+    ~350 us guide eval — the other half is the HBM-bound elementwise
+    wrapper (unnormalize round-trip, closed-form GP gradient, two
+    per-term norm-clips, masking, weighting), each pass streaming the
+    [B, H, 14] state. Fusing the whole step keeps every intermediate in
+    VMEM: the state is read once and the update written once.
+
+    Exact semantics reproduced (parity test
+    tests/test_kernels.py::test_panda_full_guide_matches_composed):
+    - unnormalize = clip(x, -1, 1) then the LimitsNormalizer affine
+      (ref normalization.py:156-167);
+    - gradients w.r.t. the UNNORMALIZED trajectory, the update applied in
+      normalized space without a chain rule through the normalizer (the
+      reference quirk, guides.py:173-211);
+    - per-term clip-by-norm over the state dim with the reference's
+      grad+1e-6 epsilon placement (guides.py:224-230); the collision
+      term's velocity half is exactly zero and still contributes the
+      7 x (1e-6)^2 epsilon mass to its norm, as in the composed path;
+    - endpoint rows zeroed AFTER clipping (guides.py:202-203);
+    - result = -(w_coll * g_coll + w_gp * g_gp), weights as traced
+      scalars (SMEM operand) so sweeps share the compile;
+    - GP gradient in the closed form of CostGPTrajectory.gradient
+      (cost_functions.py:175-197), with the time-shifts done as exact
+      0/1-matrix MXU matmuls.
+    """
+    if not supported(robot, field):
+        return None
+
+    margin = float(margin)
+    inv_two_sigma2 = 1.0 / (2.0 * float(sigma) ** 2)
+    radii, active_obstacles = _prune_obstacles(robot, field, margin)
+
+    # f32 arithmetic for the baked constants, matching the composed path's
+    # jnp (f32) computation of maxs - mins bit for bit
+    mins32 = np.asarray(normalizer_mins, np.float32)
+    maxs32 = np.asarray(normalizer_maxs, np.float32)
+    if mins32.shape != (14,) or maxs32.shape != (14,):
+        return None
+    mins = [float(v) for v in mins32]
+    rng_half = [float(v) for v in (maxs32 - mins32)]
+
+    dt = float(dt)
+    q_inv = np.array(
+        [[12.0 / dt**3, -6.0 / dt**2], [-6.0 / dt**2, 4.0 / dt]],
+        np.float64,
+    ) / (float(sigma_gp) ** 2)
+    Q00 = float(np.float32(q_inv[0, 0]))
+    Q01 = float(np.float32(q_inv[0, 1]))
+    Q11 = float(np.float32(q_inv[1, 1]))
+    max_gn = float(max_grad_norm)
+    EPS = 1e-6
+
+    def kernel(x_ref, w_ref, wt_ref, sl_ref, sr_ref, wts_ref, out_ref):
+        # x_ref: [14, bb, H] normalized state; wts_ref: [2] SMEM weights
+        W = w_ref[:]
+        Wt = wt_ref[:]
+        SL = sl_ref[:]
+        SR = sr_ref[:]
+        w_coll = wts_ref[0]
+        w_gp = wts_ref[1]
+        H = x_ref.shape[2]
+
+        # ---- unnormalize (clip + affine), reference op order preserved
+        xs = []
+        for j in range(14):
+            x01 = (jnp.clip(x_ref[j], -1.0, 1.0) + 1.0) / 2.0
+            xs.append(x01 * rng_half[j] + mins[j])
+        zeros2 = xs[0] * 0.0  # [bb, H]
+
+        # ---- collision gradient (position channels; vel half is zero)
+        qi = [jnp.dot(xs[j], W, **_MATMUL_KW) for j in range(7)]
+        zeros = qi[0] * 0.0
+        grad_comps = _collision_grad_channels(
+            qi, zeros, robot, radii, active_obstacles, margin, inv_two_sigma2
+        )
+        gcoll = []
+        for j in range(7):
+            gj = grad_comps[j]
+            gj = (gj + zeros) if isinstance(gj, float) else gj
+            gcoll.append(jnp.dot(gj, Wt, **_MATMUL_KW))  # [bb, H]
+
+        # ---- closed-form GP gradient, shifts as exact matmuls
+        # mask of columns t < H-1 (residuals exist for t = 0..H-2)
+        col = jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 1)
+        m_lt = (col < H - 1).astype(jnp.float32)
+        ggp = [None] * 14
+        for j in range(7):
+            q = xs[j]
+            v = xs[j + 7]
+            q_next = jnp.dot(q, SL, **_MATMUL_KW)
+            v_next = jnp.dot(v, SL, **_MATMUL_KW)
+            r_pos = (q_next - q - v * dt) * m_lt
+            r_vel = (v_next - v) * m_lt
+            s = Q00 * r_pos + Q01 * r_vel
+            w = Q01 * r_pos + Q11 * r_vel
+            s_prev = jnp.dot(s, SR, **_MATMUL_KW)
+            w_prev = jnp.dot(w, SR, **_MATMUL_KW)
+            ggp[j] = s_prev - s
+            ggp[j + 7] = -dt * s - w + w_prev
+
+        # ---- per-term clip-by-norm over the 14 state channels
+        n2_coll = zeros2 + 7.0 * (EPS * EPS)  # the zero velocity half
+        for j in range(7):
+            gje = gcoll[j] + EPS
+            n2_coll = n2_coll + gje * gje
+        norm_coll = jnp.sqrt(n2_coll)
+        sc_coll = jnp.minimum(norm_coll, max_gn) / norm_coll
+
+        n2_gp = zeros2
+        for j in range(14):
+            gje = ggp[j] + EPS
+            n2_gp = n2_gp + gje * gje
+        norm_gp = jnp.sqrt(n2_gp)
+        sc_gp = jnp.minimum(norm_gp, max_gn) / norm_gp
+
+        # ---- endpoint rows zeroed AFTER clipping; weighted sum, negated
+        interior = ((col > 0) & (col < H - 1)).astype(jnp.float32)
+        for j in range(14):
+            acc = w_gp * (sc_gp * ggp[j])
+            if j < 7:
+                acc = acc + w_coll * (sc_coll * gcoll[j])
+            out_ref[j] = -interior * acc
+
+    def apply(x_norm: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+        lead = x_norm.shape[:-2]
+        H = x_norm.shape[-2]
+        x2 = x_norm.reshape((-1, H, 14))
+        B = x2.shape[0]
+        bb = block_b if block_b is not None else (64 if B >= 512 else 8)
+        Bp = -(-B // bb) * bb
+        if Bp != B:
+            x2 = jnp.concatenate(
+                [x2, jnp.zeros((Bp - B, H, 14), x2.dtype)], axis=0
+            )
+        xt = x2.astype(jnp.float32).transpose(2, 0, 1)  # [14, Bp, H]
+        W = jnp.asarray(_interp_matrix(H, num_interp))
+        Wt = W.T
+        SL = jnp.asarray(_shift_left_matrix(H))
+        SR = SL.T
+        wts = jnp.asarray(weights, jnp.float32).reshape((2,))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // bb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (14, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (H, num_interp), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (num_interp, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (H, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (H, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (14, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((14, Bp, H), jnp.float32),
+            interpret=interpret,
+        )(xt, W, Wt, SL, SR, wts)
+
+        g = out.transpose(1, 2, 0)[:B].astype(x_norm.dtype)
+        return g.reshape(lead + (H, 14))
 
     return apply

@@ -210,6 +210,10 @@ class MotionPlanner:
             num_interpolated_points_for_collision=128,
             fused_collision=config.fused_collision_guide,
             mesh=mesh,
+            # enables the FULL guide-step megakernel when the composite
+            # matches the production Panda shape (kernels/panda_guide.py
+            # make_panda_guide_update); other tasks keep the composed path
+            normalizer=dataset.traj_normalizer,
             **guide_kwargs,
         )
 

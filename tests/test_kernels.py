@@ -342,3 +342,124 @@ def test_panda_prune_keeps_gradient_exact_near_threshold():
     assert float(jnp.abs(ref).max()) > 0
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_panda_full_guide_matches_composed():
+    """The full guide-step megakernel (make_panda_guide_update via
+    GuideTrajectoriesWithVelocity(normalizer=...)) must reproduce the
+    composed path — unnormalize -> collision+GP grads -> per-term
+    norm-clip -> endpoint zeroing -> -sum(w*g) — on the production Panda
+    composite, including traced weight overrides."""
+    from mpd_tpu.costs.cost_functions import (
+        CostCollision,
+        CostComposite,
+        CostGPTrajectory,
+    )
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
+    from mpd_tpu.world import get_env, get_robot
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    H = 16
+    dt = 5.0 / H
+    vlim = 2.5 * np.ones(7)
+    norm = LimitsNormalizer(
+        mins=jnp.asarray(np.concatenate([np.asarray(robot.q_min), -vlim]),
+                         jnp.float32),
+        maxs=jnp.asarray(np.concatenate([np.asarray(robot.q_max), vlim]),
+                         jnp.float32),
+    )
+    cost = CostComposite(
+        robot, H,
+        [
+            CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                          cutoff_margin=0.05),
+            CostGPTrajectory(robot, H, dt, sigma_gp=1.0),
+        ],
+        weights_cost_l=[5e-2, 1e-7],
+    )
+    kw = dict(
+        unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=64,
+    )
+    g_full = GuideTrajectoriesWithVelocity(
+        **kw, fused_collision="interpret", normalizer=norm
+    )
+    assert g_full._full_guide is not None
+    # composed path with the collision KERNEL (the production TPU chain
+    # before r4) — the tight-parity reference
+    g_comp = GuideTrajectoriesWithVelocity(**kw, fused_collision="interpret")
+    assert g_comp._full_guide is None and 0 in g_comp._fused_grads
+    # composed path on pure autodiff — looser: the collision kernel's
+    # known argmin-tie / hinge-boundary deltas vs autodiff pass through
+    g_auto = GuideTrajectoriesWithVelocity(**kw, fused_collision="off")
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (12, H, 14),
+                           minval=-1.1, maxval=1.1)  # incl. out-of-range
+    out_full = np.asarray(g_full(x))
+    out_comp = np.asarray(g_comp(x))
+    assert float(np.abs(out_comp).max()) > 0
+    np.testing.assert_allclose(out_full, out_comp, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_full, np.asarray(g_auto(x)),
+                               rtol=1e-3, atol=1e-4)
+    # endpoint rows exactly zero
+    np.testing.assert_array_equal(out_full[:, 0], 0.0)
+    np.testing.assert_array_equal(out_full[:, -1], 0.0)
+
+    # traced weight override rides through the SMEM operand
+    w2 = jnp.asarray([3e-2, 1e-6])
+    np.testing.assert_allclose(
+        np.asarray(g_full(x, weights=w2)),
+        np.asarray(g_comp(x, weights=w2)), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_panda_full_guide_shard_mapped_matches_single():
+    """The full guide megakernel composes with the mesh exactly like the
+    collision kernel: shard_mapped over the candidate axis, per-device
+    instances, same values as the unsharded call."""
+    from mpd_tpu.costs.cost_functions import (
+        CostCollision,
+        CostComposite,
+        CostGPTrajectory,
+    )
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
+    from mpd_tpu.parallel import make_mesh
+    from mpd_tpu.world import get_env, get_robot
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    H = 16
+    vlim = 2.5 * np.ones(7)
+    norm = LimitsNormalizer(
+        mins=jnp.asarray(np.concatenate([np.asarray(robot.q_min), -vlim]),
+                         jnp.float32),
+        maxs=jnp.asarray(np.concatenate([np.asarray(robot.q_max), vlim]),
+                         jnp.float32),
+    )
+    cost = CostComposite(
+        robot, H,
+        [
+            CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                          cutoff_margin=0.05),
+            CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0),
+        ],
+        weights_cost_l=[5e-2, 1e-7],
+    )
+    kw = dict(
+        unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=32,
+        fused_collision="interpret", normalizer=norm,
+    )
+    g1 = GuideTrajectoriesWithVelocity(**kw)
+    gm = GuideTrajectoriesWithVelocity(**kw, mesh=make_mesh(8))
+    assert g1._full_guide is not None and gm._full_guide is not None
+    x = jax.random.uniform(jax.random.PRNGKey(5), (16, H, 14),
+                           minval=-1.0, maxval=1.0)
+    np.testing.assert_allclose(
+        np.asarray(gm(x)), np.asarray(g1(x)), rtol=1e-5, atol=1e-7
+    )
