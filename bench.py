@@ -217,9 +217,17 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
 def chain_cost(query):
     """Analytic (flops, bytes) of one guided query: unit-program costs
     composed with the chain's static forward/guide-eval counts. Excludes
-    the per-step elementwise posterior/noise ops and final metrics (<2%)."""
+    the per-step elementwise posterior/noise ops and final metrics (<2%).
+
+    When the guide is the full Pallas megakernel (r4), XLA's cost model
+    reports no flops for the custom call — its work is VPU ops outside the
+    MXU-flop denominator anyway (RESULTS.md roofline discussion), so a
+    missing guide count falls back to 0 rather than poisoning the chain
+    total with NaN (the eps-model dominates the analytic flops ~20:1)."""
     fl_f, by_f = query_cost(query._eps_jit, query._example_x, query._example_t)
     fl_g, by_g = query_cost(query._guide_jit, query._example_x)
+    if not np.isfinite(fl_g):
+        fl_g, by_g = 0.0, 0.0
     return (query._n_fwd * fl_f + query._n_guide * fl_g,
             query._n_fwd * by_f + query._n_guide * by_g)
 
@@ -437,8 +445,11 @@ def planner_chain_flops(planner):
     cfg = planner.sampler_cfg
     n_fwd = planner._run_schedule.n_steps + cfg.n_extra_steps
     n_guide = (cfg.t_start_guide + cfg.n_extra_steps) * cfg.n_guide_steps
+    fl_g = query_flops(guide_j, x, planner._guide_weights)
+    if not np.isfinite(fl_g):
+        fl_g = 0.0  # full megakernel guide: VPU work, no XLA flop count
     return (n_fwd * query_flops(eps_j, planner.params, x, t)
-            + n_guide * query_flops(guide_j, x, planner._guide_weights))
+            + n_guide * fl_g)
 
 
 def kernel_regression_check():
@@ -483,6 +494,49 @@ def kernel_regression_check():
                          rtol=2e-3, atol=3e-4)
         results[name] = bool(ok)
         log(f"kernel regression [{name}]: {'pass' if ok else 'FAIL'}")
+
+    # FULL guide-step megakernel (r4): Mosaic compile + parity vs the
+    # composed path (collision kernel + XLA wrapper) on the same backend
+    try:
+        from mpd_tpu.costs.cost_functions import (
+            CostComposite,
+            CostGPTrajectory,
+        )
+        from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+        from mpd_tpu.data.normalization import LimitsNormalizer
+
+        env = get_env("EnvSpheres3D")
+        robot = get_robot("RobotPanda")
+        H = 64
+        vlim = 2.5 * jnp.ones((7,))
+        norm = LimitsNormalizer(
+            mins=jnp.concatenate([jnp.asarray(robot.q_min), -vlim]),
+            maxs=jnp.concatenate([jnp.asarray(robot.q_max), vlim]),
+        )
+        comp = CostComposite(
+            robot, H,
+            [CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                           cutoff_margin=0.05),
+             CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0)],
+            weights_cost_l=[5e-2, 1e-7],
+        )
+        kw = dict(unnormalize_fn=norm.unnormalize, cost=comp, clip_grad=True,
+                  interpolate_trajectories_for_collision=True,
+                  num_interpolated_points_for_collision=128)
+        gf = GuideTrajectoriesWithVelocity(**kw, fused_collision="on",
+                                           normalizer=norm)
+        gc = GuideTrajectoriesWithVelocity(**kw, fused_collision="on")
+        xg = jax.random.uniform(jax.random.PRNGKey(2), (128, H, 14),
+                                minval=-1.0, maxval=1.0)
+        a = np.asarray(jax.jit(gf)(xg))
+        b = np.asarray(jax.jit(gc)(xg))
+        ok = (gf._full_guide is not None and np.isfinite(a).all()
+              and np.allclose(a, b, rtol=1e-3, atol=1e-4))
+        results["panda_full_guide"] = bool(ok)
+        log(f"kernel regression [panda_full_guide]: {'pass' if ok else 'FAIL'}")
+    except Exception as e:
+        results["panda_full_guide"] = False
+        log(f"kernel regression [panda_full_guide]: FAIL ({e})")
     return "pass" if all(results.values()) else (
         "fail:" + ",".join(k for k, v in results.items() if not v)
     )

@@ -98,3 +98,57 @@ def test_pointmass_collision_grad_compiles_through_mosaic_and_matches():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-3, atol=3e-4)
     assert float(jnp.abs(np.asarray(ref)).max()) > 0
+
+
+def test_panda_full_guide_compiles_through_mosaic_and_matches():
+    """Mosaic-lowering regression for the FULL guide-step megakernel (r4):
+    compile make_panda_guide_update on the chip and assert parity with the
+    composed guide path (collision kernel + XLA wrapper) on the same
+    backend."""
+    from mpd_tpu.costs.cost_functions import (
+        CostCollision,
+        CostComposite,
+        CostGPTrajectory,
+    )
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
+    from mpd_tpu.world.envs import get_env
+    from mpd_tpu.world.robots import get_robot
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    B, H = 128, 64
+    vlim = 2.5 * np.ones(7)
+    norm = LimitsNormalizer(
+        mins=jnp.asarray(np.concatenate([np.asarray(robot.q_min), -vlim]),
+                         jnp.float32),
+        maxs=jnp.asarray(np.concatenate([np.asarray(robot.q_max), vlim]),
+                         jnp.float32),
+    )
+    cost = CostComposite(
+        robot, H,
+        [
+            CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                          cutoff_margin=0.05),
+            CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0),
+        ],
+        weights_cost_l=[5e-2, 1e-7],
+    )
+    kw = dict(
+        unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=128,
+    )
+    g_full = GuideTrajectoriesWithVelocity(**kw, fused_collision="on",
+                                           normalizer=norm)
+    assert g_full._full_guide is not None
+    g_comp = GuideTrajectoriesWithVelocity(**kw, fused_collision="on")
+    assert g_comp._full_guide is None and 0 in g_comp._fused_grads
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (B, H, 14),
+                           minval=-1.0, maxval=1.0)
+    out_full = np.asarray(jax.jit(g_full)(x))
+    out_comp = np.asarray(jax.jit(g_comp)(x))
+    assert np.isfinite(out_full).all()
+    assert float(np.abs(out_comp).max()) > 0
+    np.testing.assert_allclose(out_full, out_comp, rtol=1e-3, atol=1e-4)
