@@ -495,48 +495,58 @@ def kernel_regression_check():
         results[name] = bool(ok)
         log(f"kernel regression [{name}]: {'pass' if ok else 'FAIL'}")
 
-    # FULL guide-step megakernel (r4): Mosaic compile + parity vs the
-    # composed path (collision kernel + XLA wrapper) on the same backend
-    try:
-        from mpd_tpu.costs.cost_functions import (
-            CostComposite,
-            CostGPTrajectory,
-        )
-        from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
-        from mpd_tpu.data.normalization import LimitsNormalizer
+    # FULL guide-step megakernels (r4, both robots): Mosaic compile +
+    # parity vs the composed path (collision kernel + XLA wrapper) on the
+    # same backend
+    from mpd_tpu.costs.cost_functions import CostComposite, CostGPTrajectory
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
 
-        env = get_env("EnvSpheres3D")
-        robot = get_robot("RobotPanda")
-        H = 64
-        vlim = 2.5 * jnp.ones((7,))
-        norm = LimitsNormalizer(
-            mins=jnp.concatenate([jnp.asarray(robot.q_min), -vlim]),
-            maxs=jnp.concatenate([jnp.asarray(robot.q_max), vlim]),
-        )
-        comp = CostComposite(
-            robot, H,
-            [CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
-                           cutoff_margin=0.05),
-             CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0)],
-            weights_cost_l=[5e-2, 1e-7],
-        )
-        kw = dict(unnormalize_fn=norm.unnormalize, cost=comp, clip_grad=True,
-                  interpolate_trajectories_for_collision=True,
-                  num_interpolated_points_for_collision=128)
-        gf = GuideTrajectoriesWithVelocity(**kw, fused_collision="on",
-                                           normalizer=norm)
-        gc = GuideTrajectoriesWithVelocity(**kw, fused_collision="on")
-        xg = jax.random.uniform(jax.random.PRNGKey(2), (128, H, 14),
-                                minval=-1.0, maxval=1.0)
-        a = np.asarray(jax.jit(gf)(xg))
-        b = np.asarray(jax.jit(gc)(xg))
-        ok = (gf._full_guide is not None and np.isfinite(a).all()
-              and np.allclose(a, b, rtol=1e-3, atol=1e-4))
-        results["panda_full_guide"] = bool(ok)
-        log(f"kernel regression [panda_full_guide]: {'pass' if ok else 'FAIL'}")
-    except Exception as e:
-        results["panda_full_guide"] = False
-        log(f"kernel regression [panda_full_guide]: FAIL ({e})")
+    for name, env_id, robot_id, w_coll in (
+        ("panda_full_guide", "EnvSpheres3D", "RobotPanda", 5e-2),
+        ("pointmass_full_guide", "EnvDense2D", "RobotPointMass", 3e-2),
+    ):
+        try:
+            env = get_env(env_id, use_extra_objects=(robot_id == "RobotPointMass"))
+            robot = get_robot(robot_id)
+            H = 64
+            qd = robot.q_dim
+            if robot_id == "RobotPanda":
+                vlim = 2.5 * jnp.ones((qd,))
+                norm = LimitsNormalizer(
+                    mins=jnp.concatenate([jnp.asarray(robot.q_min), -vlim]),
+                    maxs=jnp.concatenate([jnp.asarray(robot.q_max), vlim]),
+                )
+            else:
+                norm = LimitsNormalizer(
+                    mins=jnp.asarray([-1.0, -1.0, -2.5, -2.5]),
+                    maxs=jnp.asarray([1.0, 1.0, 2.5, 2.5]),
+                )
+            comp = CostComposite(
+                robot, H,
+                [CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                               cutoff_margin=0.05),
+                 CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0)],
+                weights_cost_l=[w_coll, 1e-7],
+            )
+            kw = dict(unnormalize_fn=norm.unnormalize, cost=comp,
+                      clip_grad=True,
+                      interpolate_trajectories_for_collision=True,
+                      num_interpolated_points_for_collision=128)
+            gf = GuideTrajectoriesWithVelocity(**kw, fused_collision="on",
+                                               normalizer=norm)
+            gc = GuideTrajectoriesWithVelocity(**kw, fused_collision="on")
+            xg = jax.random.uniform(jax.random.PRNGKey(2), (128, H, 2 * qd),
+                                    minval=-1.0, maxval=1.0)
+            a = np.asarray(jax.jit(gf)(xg))
+            b = np.asarray(jax.jit(gc)(xg))
+            ok = (gf._full_guide is not None and np.isfinite(a).all()
+                  and np.allclose(a, b, rtol=1e-3, atol=1e-4))
+            results[name] = bool(ok)
+            log(f"kernel regression [{name}]: {'pass' if ok else 'FAIL'}")
+        except Exception as e:
+            results[name] = False
+            log(f"kernel regression [{name}]: FAIL ({e})")
     return "pass" if all(results.values()) else (
         "fail:" + ",".join(k for k, v in results.items() if not v)
     )

@@ -117,11 +117,21 @@ class GuideTrajectoriesWithVelocity:
                 self._full_guide = self._try_build_full_guide(
                     normalizer, fused_collision == "interpret"
                 )
+                # "on"/"interpret" force the kernel past its small-batch
+                # crossover gate (A/B forcing and CPU parity tests), same
+                # rule as the collision-only kernels above
+                if self._full_guide is not None and fused_collision in (
+                    "on",
+                    "interpret",
+                ):
+                    self._full_guide.min_batch = 1
 
     def _try_build_full_guide(self, normalizer, interpret: bool):
         from mpd_tpu.costs.cost_functions import CostCollision, CostGPTrajectory
         from mpd_tpu.data.normalization import LimitsNormalizer
         from mpd_tpu.kernels.panda_guide import make_panda_guide_update
+        from mpd_tpu.kernels.pointmass_guide import make_pointmass_guide_update
+        from mpd_tpu.world.robots import RobotPanda, RobotPointMass
 
         if not isinstance(normalizer, LimitsNormalizer):
             return None
@@ -135,7 +145,13 @@ class GuideTrajectoriesWithVelocity:
             return None
         if coll.squared:  # kernel implements the guidance (hinge) form only
             return None
-        return make_panda_guide_update(
+        if isinstance(coll.robot, RobotPanda):
+            make = make_panda_guide_update
+        elif isinstance(coll.robot, RobotPointMass):
+            make = make_pointmass_guide_update
+        else:
+            return None
+        return make(
             coll.robot,
             coll.field,
             margin=coll.cutoff_margin,
@@ -165,7 +181,12 @@ class GuideTrajectoriesWithVelocity:
         scalars (e.g. a [n_terms] array argument of the jitted query) so
         weight sweeps reuse one compiled program instead of baking the
         floats into the HLO as constants."""
-        if self._full_guide is not None:
+        batch = 1
+        for d in x_normalized.shape[:-2]:
+            batch *= int(d)
+        if self._full_guide is not None and batch >= getattr(
+            self._full_guide, "min_batch", 1
+        ):
             ws2 = (
                 jnp.asarray(self.cost.weights, jnp.float32)
                 if weights is None

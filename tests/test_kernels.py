@@ -463,3 +463,75 @@ def test_panda_full_guide_shard_mapped_matches_single():
     np.testing.assert_allclose(
         np.asarray(gm(x)), np.asarray(g1(x)), rtol=1e-5, atol=1e-7
     )
+
+
+def test_pointmass_full_guide_matches_composed():
+    """2D analogue of test_panda_full_guide_matches_composed: the full
+    guide-step megakernel vs the composed path (collision kernel + XLA
+    wrapper) and vs pure autodiff, on the Dense2D sphere+box field."""
+    from mpd_tpu.costs.cost_functions import (
+        CostCollision,
+        CostComposite,
+        CostGPTrajectory,
+    )
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
+    from mpd_tpu.world import get_env, get_robot
+
+    env = get_env("EnvDense2D", use_extra_objects=True)
+    robot = get_robot("RobotPointMass")
+    H = 16
+    norm = LimitsNormalizer(
+        mins=jnp.asarray([-1.0, -1.0, -2.5, -2.5]),
+        maxs=jnp.asarray([1.0, 1.0, 2.5, 2.5]),
+    )
+    cost = CostComposite(
+        robot, H,
+        [
+            CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                          cutoff_margin=0.05),
+            CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0),
+        ],
+        weights_cost_l=[3e-2, 1e-7],
+    )
+    kw = dict(
+        unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=64,
+    )
+    g_full = GuideTrajectoriesWithVelocity(
+        **kw, fused_collision="interpret", normalizer=norm
+    )
+    assert g_full._full_guide is not None
+    g_comp = GuideTrajectoriesWithVelocity(**kw, fused_collision="interpret")
+    g_auto = GuideTrajectoriesWithVelocity(**kw, fused_collision="off")
+
+    x = jax.random.uniform(jax.random.PRNGKey(9), (12, H, 4),
+                           minval=-1.1, maxval=1.1)
+    out_full = np.asarray(g_full(x))
+    out_comp = np.asarray(g_comp(x))
+    assert float(np.abs(out_comp).max()) > 0
+    np.testing.assert_allclose(out_full, out_comp, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_full, np.asarray(g_auto(x)),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(out_full[:, 0], 0.0)
+    np.testing.assert_array_equal(out_full[:, -1], 0.0)
+
+
+def test_pointmass_full_guide_always_on():
+    """The 2D FULL guide kernel has no small-batch gate (min_batch 1):
+    on-chip it beats the composed path at every measured batch size
+    (B=8/25/50, r4) — the fused wrapper outweighs the per-program
+    overhead that gates the bare-collision kernel at B=128."""
+    from mpd_tpu.kernels.pointmass_guide import make_pointmass_guide_update
+    from mpd_tpu.world import get_env, get_robot
+
+    env = get_env("EnvDense2D")
+    robot = get_robot("RobotPointMass")
+    fn = make_pointmass_guide_update(
+        robot, env.objects, margin=0.05, sigma=1.0,
+        normalizer_mins=np.asarray([-1.0, -1.0, -2.5, -2.5], np.float32),
+        normalizer_maxs=np.asarray([1.0, 1.0, 2.5, 2.5], np.float32),
+        dt=5.0 / 16, interpret=True,
+    )
+    assert fn is not None and fn.min_batch == 1

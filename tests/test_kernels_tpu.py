@@ -152,3 +152,51 @@ def test_panda_full_guide_compiles_through_mosaic_and_matches():
     assert np.isfinite(out_full).all()
     assert float(np.abs(out_comp).max()) > 0
     np.testing.assert_allclose(out_full, out_comp, rtol=1e-3, atol=1e-4)
+
+
+def test_pointmass_full_guide_compiles_through_mosaic_and_matches():
+    """2D full guide-step megakernel Mosaic regression (see the Panda
+    variant above for the methodology)."""
+    from mpd_tpu.costs.cost_functions import (
+        CostCollision,
+        CostComposite,
+        CostGPTrajectory,
+    )
+    from mpd_tpu.costs.guide import GuideTrajectoriesWithVelocity
+    from mpd_tpu.data.normalization import LimitsNormalizer
+    from mpd_tpu.world.envs import get_env
+    from mpd_tpu.world.robots import get_robot
+
+    env = get_env("EnvDense2D", use_extra_objects=True)
+    robot = get_robot("RobotPointMass")
+    B, H = 256, 64
+    norm = LimitsNormalizer(
+        mins=jnp.asarray([-1.0, -1.0, -2.5, -2.5]),
+        maxs=jnp.asarray([1.0, 1.0, 2.5, 2.5]),
+    )
+    cost = CostComposite(
+        robot, H,
+        [
+            CostCollision(robot, H, field=env.objects, sigma_coll=1.0,
+                          cutoff_margin=0.05),
+            CostGPTrajectory(robot, H, 5.0 / H, sigma_gp=1.0),
+        ],
+        weights_cost_l=[3e-2, 1e-7],
+    )
+    kw = dict(
+        unnormalize_fn=norm.unnormalize, cost=cost, clip_grad=True,
+        interpolate_trajectories_for_collision=True,
+        num_interpolated_points_for_collision=128,
+    )
+    g_full = GuideTrajectoriesWithVelocity(**kw, fused_collision="on",
+                                           normalizer=norm)
+    assert g_full._full_guide is not None
+    g_comp = GuideTrajectoriesWithVelocity(**kw, fused_collision="on")
+
+    x = jax.random.uniform(jax.random.PRNGKey(4), (B, H, 4),
+                           minval=-1.0, maxval=1.0)
+    out_full = np.asarray(jax.jit(g_full)(x))
+    out_comp = np.asarray(jax.jit(g_comp)(x))
+    assert np.isfinite(out_full).all()
+    assert float(np.abs(out_comp).max()) > 0
+    np.testing.assert_allclose(out_full, out_comp, rtol=1e-3, atol=1e-4)
