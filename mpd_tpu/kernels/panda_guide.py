@@ -66,8 +66,6 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_BIG = 1e6
-
 
 def _active_spheres(field: ObjectSet):
     """Extract active sphere obstacles as a list of (x, y, z, r) floats."""

@@ -46,8 +46,6 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_BIG = 1e6
-
 
 def _active_obstacles(field: ObjectSet):
     sc = np.asarray(field.sphere_centers, np.float64)
