@@ -8,15 +8,18 @@ eps-model, hard conditioning every step, and 5 cost-gradient guide steps
 (SDF collision at 128 interpolated points + GP smoothness) for every step
 with t < 7 — as one compiled XLA program.
 
-Prints ONE JSON line:
+Prints ONE compact JSON headline line (and writes the full metrics dict
+to BENCH_FULL.json next to this file — the printed line must stay inside
+the driver's capture window, VERDICT r4 #1):
   metric: guided trajs/sec/chip, pipelined dispatch at the large-batch
           operating point (12 queries in flight; within 3% of the
           profiler-measured device execution time)
-  latency_p50_s: p50 wall-clock of a reference-shaped 50-sample query
   vs_baseline: ratio vs the reference operating point of 50 trajs / query
                inside the BASELINE.md <1 s budget (= 50 trajs/s)
-plus lanes: DDIM fast path, Panda trained-checkpoint query (with MFU),
-and the plan_batch serving path (amortized per-query latency).
+plus headline fields for the other lane families: DDPM-25 MFU, Panda
+at-scale, fast serving p50s, training MFU, datagen per-context times and
+the Mosaic kernel regression; every per-lane field (DDIM, f32 fallbacks,
+serving full-transfer, HBM bounds, ...) lives in BENCH_FULL.json.
 """
 
 import dataclasses
@@ -642,6 +645,73 @@ def _bench_training(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
     return out
 
 
+def _bench_datagen(n_contexts=3, num_trajectories=20):
+    """Driver-captured datagen lane (VERDICT r4 #2: the '1-3 s per 2D
+    context / 3-7 s Panda / 84x native RRT' claims in RESULTS.md were
+    self-reported and never appeared in a BENCH_r*.json). Runs the REAL
+    pipeline — C++ RRT-Connect seed fan-out + batched jitted GPMP2
+    smoothing + free/collision split (generate_context, the same function
+    scripts/generate_data.py drives; ref workload
+    generate_trajectories.py:20-169, 300 s RRT budget per context) — for a
+    few contexts per robot and reports the warm per-context median (the
+    first context pays the one-time GPMP2 compile; it is reported
+    separately). Also times the native planner alone (ms/path, Panda
+    7-DoF — the RESULTS '84x vs Python' engine)."""
+    from mpd_tpu.data.datagen.generate import generate_context
+    from mpd_tpu.native import NativeRRTConnect, native_available
+    from mpd_tpu.world import get_env, get_robot
+
+    out = {}
+
+    # ---- native RRT-Connect alone: ms/path on the Panda workload
+    if native_available():
+        env = get_env("EnvSpheres3D")
+        robot = get_robot("RobotPanda")
+        rrt_params = env.get_rrt_connect_params(robot)
+        import jax
+
+        from mpd_tpu.world.task import PlanningTask
+
+        task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.02)
+        qs = np.asarray(task.random_coll_free_q(jax.random.PRNGKey(5), n_samples=2))
+        ts = []
+        for i in range(8):
+            planner = NativeRRTConnect(
+                robot, env.objects, margin=0.02,
+                step_size=rrt_params["step_size"],
+                n_iters=rrt_params["n_iters"], max_time=60.0, seed=100 + i,
+            )
+            t0 = time.perf_counter()
+            path = planner.plan(qs[0], qs[1])
+            ts.append(time.perf_counter() - t0)
+            assert path is not None
+        out["native_rrt_ms_per_path"] = round(float(np.median(ts)) * 1e3, 2)
+        log(f"native RRT-Connect (Panda): {out['native_rrt_ms_per_path']:.1f}"
+            " ms/path median")
+
+    # ---- full per-context pipeline, both robots
+    for name, env_id, robot_id in (
+        ("2d", "EnvDense2D", "RobotPointMass"),
+        ("panda", "EnvSpheres3D", "RobotPanda"),
+    ):
+        ts = []
+        for j in range(n_contexts):
+            t0 = time.perf_counter()
+            stats = generate_context(
+                env_id, robot_id, seed=9000 + j,
+                num_trajectories=num_trajectories,
+            )
+            ts.append(time.perf_counter() - t0)
+            log(f"datagen [{name}] ctx {j}: {ts[-1]:.2f} s"
+                f" ({stats['n_free']}/{stats['n_trajs']} free)")
+        # ctx 0 carries the one-time GPMP2 compile (persistent-cached
+        # across bench runs); the warm contexts are the per-context rate
+        warm = ts[1:] or ts
+        out[f"datagen_{name}_context_s"] = round(float(np.median(warm)), 2)
+        out[f"datagen_{name}_ctx0_s"] = round(ts[0], 2)
+    return out
+
+
 def main():
     import os
 
@@ -1072,6 +1142,15 @@ def main():
     except Exception as e:
         log(f"training scaled lane skipped: {e}")
 
+    datagen = {}
+    try:
+        if past_deadline("datagen"):
+            raise TimeoutError("lane deadline")
+        log("timing datagen pipeline (C++ RRT + batched GPMP2)...")
+        datagen = _bench_datagen()
+    except Exception as e:
+        log(f"datagen lane skipped: {e}")
+
     kernels_check = {}
     if jax.default_backend() == "tpu":
         try:
@@ -1119,6 +1198,7 @@ def main():
         **panda_serving,
         **panda_serving_fast,
         **training,
+        **datagen,
         **kernels_check,
     }
     if mfu_big is not None:
@@ -1130,7 +1210,38 @@ def main():
         # hbm_util docstring; >1 means compute-bound, not a traffic claim
         out["hbm_upper_bound_util_large_batch"] = round(hbm_big, 4)
         out["gbytes_upper_bound_per_query"] = round(by_big / 1e9, 2)
-    print(json.dumps(out))
+
+    # ---- emit. The FULL metrics dict goes to BENCH_FULL.json; the one
+    # PRINTED line is a compact headline subset (VERDICT r4 #1: the full
+    # line outgrew the driver's ~2000-char capture window in round 4 —
+    # BENCH_r04.json recorded parsed=null with the tail starting
+    # mid-object — and the driver-captured line is the ground truth every
+    # perf judgment keys on).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        log(f"full metrics ({len(out)} fields) -> {full_path}")
+    except OSError as e:
+        log(f"BENCH_FULL.json write failed: {e}")
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline", "headline_lane",
+        "ddpm25_trajs_per_sec_pipelined",
+        "respaced_bf16_trajs_per_sec_pipelined", "mfu_large_batch",
+        "panda_trajs_per_sec_large_batch",
+        "panda_respaced_trajs_per_sec_large_batch", "panda_mfu_large_batch",
+        "serving_fast_p50_s_per_query", "panda_serving_fast_p50_s_per_query",
+        "train_steps_per_sec", "train_mfu",
+        "datagen_2d_context_s", "datagen_panda_context_s",
+        "native_rrt_ms_per_path", "kernels_tpu_check", "backend",
+    )
+    compact = {k: out[k] for k in compact_keys if k in out}
+    compact["full"] = "BENCH_FULL.json"
+    line = json.dumps(compact)
+    if len(line) > 1500:  # stay far inside the driver's capture window
+        log(f"WARNING: compact headline line is {len(line)} chars")
+    print(line)
 
 
 if __name__ == "__main__":
