@@ -427,6 +427,11 @@ def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass
             key, starts, goals, return_all_trajs=return_all_trajs
         )
 
+    # expose the pieces so main() can time transfer variants (e.g. the
+    # bf16 compressed candidate transfer) against the SAME compiled
+    # program instead of rebuilding/retracing a second planner
+    query._planner = planner
+    query._starts, query._goals = starts, goals
     return query, Q
 
 
@@ -984,6 +989,22 @@ def main():
             "serving_timing": "best_of_rounds_median",
         }
         log(f"serving: {t_q*1e3:.1f} ms/query amortized ({1.0/t_q:.0f} queries/s)")
+        # compressed candidate transfer (VERDICT r4 #8): same compiled
+        # program, [Q*B, H, D] candidates cast to bf16 on device before
+        # the device->host fetch — halves the full-transfer lane's
+        # per-dispatch bytes (metrics/best plan stay f32-exact)
+        import jax.numpy as jnp
+
+        def q_serve_bf16(key):
+            return q_serve._planner.plan_batch(
+                key, q_serve._starts, q_serve._goals,
+                transfer_dtype=jnp.bfloat16,
+            )
+
+        q_serve_bf16(jrandom.PRNGKey(0))
+        t_qc = time_serving(q_serve_bf16) / Q
+        serving["serving_p50_s_per_query_bf16_transfer"] = round(t_qc, 5)
+        log(f"serving bf16 transfer: {t_qc*1e3:.1f} ms/query amortized")
     except Exception as e:
         log(f"serving lane skipped: {e}")
 

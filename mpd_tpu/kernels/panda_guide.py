@@ -205,7 +205,9 @@ def _collision_grad_channels(
 
         def tree_min(cands):
             # pairwise tree-min on key cands[i][0]; ties keep the
-            # earliest entry, matching the serial scan's strict '<'
+            # earliest entry WITHIN a radius group/merge order — an exact
+            # tie across groups can pick a different argmin than the old
+            # flat serial scan (measure-zero, harmless; ADVICE r4)
             while len(cands) > 1:
                 nxt = [
                     tuple(

@@ -94,7 +94,10 @@ def _collision_point_grads(px, py, spheres, boxes, margin, r_robot,
     guide-update kernel."""
 
     def tree_min(cands):
-        # ties keep the earliest entry, matching the old scan's '<'
+        # ties keep the earliest entry WITHIN a group/merge order; an exact
+        # distance tie across radius groups (or across the sphere/box
+        # boundary) can pick a different argmin than the old flat serial
+        # scan — a measure-zero, harmless divergence (ADVICE r4)
         while len(cands) > 1:
             nxt = [
                 tuple(

@@ -91,14 +91,33 @@ class PlannerConfig:
     # the t<7 window + the n_extra noiseless tail).
     use_respaced: bool = False
     respaced_times: Optional[Tuple[int, ...]] = None
-    # pure-guide refinement tail appended AFTER the sampling chain. For
-    # 'diffusion_prior_then_guide' 0 means the reference's full tail of
-    # (t_start_guide + n_extra) * n_guide_steps steps (ref
-    # inference.py:263-282); a positive value overrides that count. For
-    # 'mpd' it appends a SHORT tail after the guided chain — the hybrid
-    # between the two reference variants (the guided chain's diversity
-    # plus a few deterministic push-out-of-collision steps; VERDICT r3 #5).
-    n_post_guide_steps: int = 0
+    # pure-guide refinement tail appended AFTER the sampling chain.
+    # None = variant default: for 'diffusion_prior_then_guide' the
+    # reference's full tail of (t_start_guide + n_extra) * n_guide_steps
+    # steps (ref inference.py:263-282), for 'mpd' no tail. An explicit
+    # int overrides the count for either variant — 0 now genuinely means
+    # a tail-free run (ADVICE r4: 0 used to double as the variant-default
+    # sentinel, making a tail-free prior_then_guide unrequestable). For
+    # 'mpd' a positive value appends a SHORT tail after the guided chain —
+    # the hybrid between the two reference variants (the guided chain's
+    # diversity plus a few deterministic push-out-of-collision steps;
+    # VERDICT r3 #5).
+    n_post_guide_steps: Optional[int] = None
+    # linear per-step multiplier ramp (start, end) applied to the
+    # COLLISION-term guide weights over the post-chain tail (the
+    # smoothness term keeps its weight): (1.0, 3.0) ramps w_coll up 3x by
+    # the last tail step. None = constant weights (the r4 behavior).
+    # Quality lever for the Panda frontier (VERDICT r4 #4): a rising ramp
+    # pushes stragglers out of collision late without inflating path
+    # length during the early tail steps.
+    post_guide_w_coll_ramp: Optional[Tuple[float, float]] = None
+    # interpolation count for collision guide terms. Default 128 = the
+    # reference's EFFECTIVE value (a kwarg-name mismatch at its call site
+    # ignores the intended ceil(1.5*64)=96 — ref inference.py:233-236 vs
+    # guides.py:152-156; see costs/guide.py). The guide's SDF work is
+    # linear in this count, so 96/64 are the work-reduction lanes
+    # (VERDICT r4 #3); quality sweep in RESULTS.md.
+    num_interpolated_points: int = 128
     # Pallas megakernel for the collision-guide gradient ("auto" = on when
     # the backend is a real TPU; "on"/"interpret"/"off" force — see
     # kernels/{panda,pointmass}_guide.py). Covers Panda in sphere-only 3D
@@ -207,7 +226,7 @@ class MotionPlanner:
             cost=cost_composite,
             clip_grad=True,
             interpolate_trajectories_for_collision=True,
-            num_interpolated_points_for_collision=128,
+            num_interpolated_points_for_collision=config.num_interpolated_points,
             fused_collision=config.fused_collision_guide,
             mesh=mesh,
             # enables the FULL guide-step megakernel when the composite
@@ -261,15 +280,25 @@ class MotionPlanner:
         use_guide_in_chain = config.planner_alg == "mpd"
 
         B, D = config.n_samples, dataset.state_dim
-        if config.planner_alg == "diffusion_prior_then_guide":
-            n_post_steps = config.n_post_guide_steps or (
-                (t_start_guide + config.n_diffusion_steps_without_noise)
-                * config.n_guide_steps
+        # None = variant default; an explicit int (incl. 0) always wins
+        if config.n_post_guide_steps is not None:
+            n_post_steps = (
+                config.n_post_guide_steps if use_guide_in_chain
+                or config.planner_alg == "diffusion_prior_then_guide" else 0
             )
-        elif config.planner_alg == "mpd":
-            n_post_steps = config.n_post_guide_steps
+        elif config.planner_alg == "diffusion_prior_then_guide":
+            n_post_steps = (
+                t_start_guide + config.n_diffusion_steps_without_noise
+            ) * config.n_guide_steps
         else:
             n_post_steps = 0
+        # per-tail-step guide-weight scale (the w_coll ramp); a static [k]
+        # vector scanned alongside the tail, so one compile per config
+        if n_post_steps and config.post_guide_w_coll_ramp is not None:
+            s0, s1 = config.post_guide_w_coll_ramp
+            post_scales = jnp.linspace(float(s0), float(s1), n_post_steps)
+        else:
+            post_scales = jnp.ones((max(n_post_steps, 1),), jnp.float32)
 
         def _query(key: jax.Array, hard_conds: HardConds, params, guide_weights):
             step_eps_fn = (
@@ -298,18 +327,20 @@ class MotionPlanner:
                 )
             if n_post_steps:
                 # pure guide refinement after the prior chain
-                # (ref inference.py:263-282)
-                def body(x, _):
-                    x = x + self.guide(x, weights=guide_weights)
+                # (ref inference.py:263-282); `s` scales the collision-term
+                # weights per tail step (post_guide_w_coll_ramp)
+                def body(x, s):
+                    w = jnp.concatenate(
+                        [guide_weights[:-1] * s, guide_weights[-1:]]
+                    )
+                    x = x + self.guide(x, weights=w)
                     from mpd_tpu.diffusion.gaussian_diffusion import (
                         apply_hard_conditioning,
                     )
                     x = apply_hard_conditioning(x, hard_conds)
                     return x, x
 
-                x_final, post_chain = jax.lax.scan(
-                    body, x_final, None, length=n_post_steps
-                )
+                x_final, post_chain = jax.lax.scan(body, x_final, post_scales)
                 chain = jnp.concatenate([chain, post_chain], axis=0)
             trajs_chain = dataset.unnormalize_trajectories(chain)
             trajs_final = trajs_chain[-1]
@@ -348,6 +379,7 @@ class MotionPlanner:
 
         self._query = jax.jit(_query)
         self._n_post_steps = n_post_steps
+        self._post_scales = post_scales
         # compiled multi-query programs, keyed by Q (plan_batch)
         self._batch_queries = {}
 
@@ -373,6 +405,7 @@ class MotionPlanner:
         guide, sampler_cfg = self.guide, self.sampler_cfg
         use_guide_in_chain = config.planner_alg == "mpd"
         n_post_steps = self._n_post_steps
+        post_scales = self._post_scales
 
         def _query_batch(key, hard_conds, params, guide_weights):
             step_eps_fn = (
@@ -405,11 +438,14 @@ class MotionPlanner:
                     apply_hard_conditioning,
                 )
 
-                def body(x, _):
-                    x = x + guide(x, weights=guide_weights)
+                def body(x, s):
+                    w = jnp.concatenate(
+                        [guide_weights[:-1] * s, guide_weights[-1:]]
+                    )
+                    x = x + guide(x, weights=w)
                     return apply_hard_conditioning(x, hard_conds), None
 
-                x_final, _ = jax.lax.scan(body, x_final, None, length=n_post_steps)
+                x_final, _ = jax.lax.scan(body, x_final, post_scales)
 
             tq = dataset.unnormalize_trajectories(x_final).reshape(Q, B, H, D)
             coll_mask = task.trajs_collision_mask(tq)  # [Q, B, P]
@@ -453,6 +489,7 @@ class MotionPlanner:
         goals: jnp.ndarray,  # [Q, q_dim]
         guide_weights=None,
         return_all_trajs: bool = True,
+        transfer_dtype=None,
     ):
         """Plan Q queries in ONE device call; returns a list of
         PlanningResult (chains omitted). Amortizes the per-dispatch
@@ -466,7 +503,23 @@ class MotionPlanner:
         and its device->host transfer can rival the device compute
         (serving callers want the chosen plan, not 100 rejected
         candidates); each PlanningResult.trajs_final then has shape
-        [1, H, D] and idx_best is 0."""
+        [1, H, D] and idx_best is 0. FAILURE PAYLOAD: when a query has no
+        collision-free candidate (success=0), best-only mode returns
+        trajs_final filled with NaN — the on-device argmin over all-inf
+        costs would otherwise silently hand back candidate 0's
+        in-collision trajectory as if it were a chosen plan (ADVICE r4);
+        full mode returns the whole candidate set unchanged, with
+        idx_best/cost_best already None.
+
+        `transfer_dtype` (e.g. jnp.bfloat16) compresses the CANDIDATE
+        tensor's device->host transfer in full mode — halves the
+        [Q, B, H, D] bytes per dispatch (VERDICT r4 #8). Scoring,
+        collision masks and the best trajectory are computed on device in
+        f32 BEFORE the cast, so metrics and the chosen plan are exact;
+        only the returned candidate array is rounded (bf16: ~3 decimal
+        digits — fine for visualization/diversity consumers of the
+        non-chosen candidates). Ignored in best-only mode (the [Q, H, D]
+        best tensor is small and stays exact)."""
         import time
 
         starts = jnp.atleast_2d(starts)
@@ -499,6 +552,12 @@ class MotionPlanner:
             # skip the [Q, B, H, D] candidate-tensor transfer entirely
             dm = dict(dm)
             del dm["trajs_final"]
+        elif transfer_dtype is not None:
+            # compressed candidate transfer: cast on device, ship the
+            # narrow tensor, restore f32 on host (metrics/best computed
+            # from the f32 tensor on device — see docstring)
+            dm = dict(dm)
+            dm["trajs_final"] = dm["trajs_final"].astype(transfer_dtype)
         # single bulk device->host fetch: per-element indexing of device
         # arrays in the loop below would pay one tunneled round-trip
         # (~20 ms) per scalar — 4 scalars x Q queries swamped the device
@@ -506,11 +565,12 @@ class MotionPlanner:
         dm = jax.device_get(dm)
         t_total = time.perf_counter() - t0
 
-        trajs = (
-            dm["trajs_final"]
-            if return_all_trajs
-            else dm["best_traj"][:, None]  # [Q, 1, H, D]
-        )
+        if return_all_trajs:
+            trajs = dm["trajs_final"]
+            if transfer_dtype is not None:
+                trajs = np.asarray(trajs, dtype=np.float32)
+        else:
+            trajs = dm["best_traj"][:, None]  # [Q, 1, H, D]
         free = dm["free_mask"]
         cost_sm = dm["cost_smoothness"]
         cost_pl = dm["cost_path_length"]
@@ -518,9 +578,14 @@ class MotionPlanner:
         for qi in range(Q):
             success = int(free[qi].any())
             free_idxs = np.nonzero(free[qi])[0]
+            trajs_q = trajs[qi]
+            if not success and not return_all_trajs:
+                # no collision-free candidate: don't pass off candidate
+                # 0's in-collision trajectory as a chosen plan (docstring)
+                trajs_q = np.full_like(trajs_q, np.nan)
             results.append(
                 PlanningResult(
-                    trajs_final=trajs[qi],
+                    trajs_final=trajs_q,
                     trajs_chain=None,
                     free_mask=free[qi],
                     success=success,

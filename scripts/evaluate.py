@@ -72,11 +72,20 @@ def main():
                         "jax.grad path; see kernels/panda_guide.py)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=30)
-    p.add_argument("--n-post-guide-steps", type=int, default=0,
+    p.add_argument("--n-post-guide-steps", type=int, default=None,
                    help="pure-guide refinement tail after the chain: for "
                         "'mpd' a short hybrid tail (VERDICT r3 #5), for "
                         "'diffusion_prior_then_guide' overrides the default "
-                        "(t_start+extra)*n_guide tail; 0 = variant default")
+                        "(t_start+extra)*n_guide tail; default = variant "
+                        "default, explicit 0 = tail-free")
+    p.add_argument("--post-guide-ramp", default=None,
+                   help="'s0,s1': linear multiplier ramp on the collision "
+                        "guide weights over the post-guide tail (e.g. "
+                        "'0.5,3.0' ends 3x stronger; default constant)")
+    p.add_argument("--num-interp", type=int, default=128,
+                   help="collision-guide interpolation count (128 = the "
+                        "reference's effective value; 96 = its intended "
+                        "ceil(1.5*H); 64 = H — work-reduction lanes)")
     p.add_argument("--bf16", action="store_true",
                    help="run the eps-model in bfloat16 (params + activations)")
     p.add_argument("--spheres-per-segment", type=int, default=None,
@@ -151,6 +160,11 @@ def main():
                             if args.respaced_times else None),
             fused_collision_guide=args.fused_collision,
             n_post_guide_steps=args.n_post_guide_steps,
+            post_guide_w_coll_ramp=(
+                tuple(float(s) for s in args.post_guide_ramp.split(","))
+                if args.post_guide_ramp else None
+            ),
+            num_interpolated_points=args.num_interp,
         ),
     )
 

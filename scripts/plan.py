@@ -46,9 +46,10 @@ def main():
     p.add_argument("--ddim-refine-steps", type=int, default=0,
                    help="extra noiseless denoise+guide steps after the DDIM "
                         "chain (0 = reference-faithful ddim_sample)")
-    p.add_argument("--n-post-guide-steps", type=int, default=0,
+    p.add_argument("--n-post-guide-steps", type=int, default=None,
                    help="pure-guide tail after the chain (mpd hybrid / "
-                        "prior_then_guide override); 0 = variant default")
+                        "prior_then_guide override); default = variant "
+                        "default, explicit 0 = tail-free")
     p.add_argument("--use-respaced", action="store_true",
                    help="respaced-DDPM fast lane (see evaluate.py)")
     p.add_argument("--n-devices", type=int, default=0,

@@ -275,3 +275,133 @@ def test_planner_respaced_variant_pins_and_differs_across_keys():
             r.trajs_final[:, -1, :2],
             np.broadcast_to(np.asarray(goals[qi]), (4, 2)), atol=1e-5,
         )
+
+
+def _toy_planner(ds, net_params=None, **cfg_kw):
+    net = TemporalUnet(state_dim=4, n_support_points=16, unet_input_dim=16,
+                       dim_mults=(1, 2))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 4)),
+                      jnp.zeros((2,), jnp.int32))
+    return MotionPlanner(
+        ds, make_schedule("exponential", 25),
+        lambda p, x, t: net.apply(p, x, t), params=params,
+        config=PlannerConfig(n_samples=4, **cfg_kw),
+    )
+
+
+def _toy_ds(**kw):
+    return TrajectoryDataset(
+        base_dir="unused", trajectories=_toy_trajs(),
+        env_id="EnvSimple2D", robot_id="RobotPointMass",
+        include_velocity=True, **kw,
+    )
+
+
+def test_post_guide_steps_none_sentinel_and_explicit_zero():
+    """ADVICE r4: n_post_guide_steps=None means the variant default
+    (reference full tail for prior_then_guide, no tail for mpd); an
+    explicit 0 now requests a genuinely tail-free run for BOTH variants."""
+    ds = _toy_ds()
+    # prior_then_guide default: (7 + 5) * n_guide_steps tail
+    p_def = _toy_planner(ds, planner_alg="diffusion_prior_then_guide",
+                         n_guide_steps=2)
+    assert p_def._n_post_steps == (7 + 5) * 2
+    # explicit 0: tail-free prior_then_guide == plain diffusion_prior
+    p_zero = _toy_planner(ds, planner_alg="diffusion_prior_then_guide",
+                          n_guide_steps=2, n_post_guide_steps=0)
+    assert p_zero._n_post_steps == 0
+    p_prior = _toy_planner(ds, planner_alg="diffusion_prior")
+    tr0 = np.asarray(ds.trajs[0])
+    s, g = jnp.asarray(tr0[0, :2]), jnp.asarray(tr0[-1, :2])
+    r_zero = p_zero.plan(jax.random.PRNGKey(1), s, g)
+    r_prior = p_prior.plan(jax.random.PRNGKey(1), s, g)
+    np.testing.assert_allclose(r_zero.trajs_final, r_prior.trajs_final,
+                               rtol=1e-5, atol=1e-6)
+    # mpd default stays tail-free
+    assert _toy_planner(ds)._n_post_steps == 0
+
+
+def test_post_guide_w_coll_ramp():
+    """The linear w_coll multiplier ramp over the post-chain tail
+    (VERDICT r4 #4): (1,1) reproduces the constant-weight tail exactly; a
+    rising ramp changes the result, keeps endpoints pinned, and scales
+    only the collision term (zero collision weight => ramp is a no-op)."""
+    ds = _toy_ds()
+    tr0 = np.asarray(ds.trajs[0])
+    s, g = jnp.asarray(tr0[0, :2]), jnp.asarray(tr0[-1, :2])
+    kw = dict(n_guide_steps=2, n_post_guide_steps=4)
+    r_const = _toy_planner(ds, **kw).plan(jax.random.PRNGKey(1), s, g)
+    r_one = _toy_planner(ds, post_guide_w_coll_ramp=(1.0, 1.0), **kw).plan(
+        jax.random.PRNGKey(1), s, g)
+    np.testing.assert_allclose(r_one.trajs_final, r_const.trajs_final,
+                               rtol=1e-6, atol=1e-7)
+    r_ramp = _toy_planner(ds, post_guide_w_coll_ramp=(0.0, 3.0), **kw).plan(
+        jax.random.PRNGKey(1), s, g)
+    assert not np.allclose(r_ramp.trajs_final, r_const.trajs_final)
+    np.testing.assert_allclose(
+        r_ramp.trajs_final[:, 0, :2],
+        np.broadcast_to(np.asarray(s), (4, 2)), atol=1e-4)
+    np.testing.assert_allclose(
+        r_ramp.trajs_final[:, -1, :2],
+        np.broadcast_to(np.asarray(g), (4, 2)), atol=1e-4)
+    # with w_coll = 0 the ramp multiplies nothing: identical to constant
+    p_a = _toy_planner(ds, post_guide_w_coll_ramp=(0.0, 3.0), **kw)
+    p_b = _toy_planner(ds, **kw)
+    ra = p_a.plan(jax.random.PRNGKey(1), s, g, guide_weights=[0.0, 1e-7])
+    rb = p_b.plan(jax.random.PRNGKey(1), s, g, guide_weights=[0.0, 1e-7])
+    np.testing.assert_allclose(ra.trajs_final, rb.trajs_final,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_num_interpolated_points_config():
+    """PlannerConfig.num_interpolated_points reaches the guide (VERDICT
+    r4 #3: the 96/64 work-reduction lanes); different counts give
+    different guide gradients, same shapes."""
+    ds = _toy_ds()
+    p128 = _toy_planner(ds)
+    p64 = _toy_planner(ds, num_interpolated_points=64)
+    assert p128.guide.num_interp == 128 and p64.guide.num_interp == 64
+    tr0 = np.asarray(ds.trajs[0])
+    s, g = jnp.asarray(tr0[0, :2]), jnp.asarray(tr0[-1, :2])
+    r128 = p128.plan(jax.random.PRNGKey(1), s, g)
+    r64 = p64.plan(jax.random.PRNGKey(1), s, g)
+    assert r64.trajs_final.shape == r128.trajs_final.shape
+    assert np.isfinite(r64.trajs_final).all()
+    assert not np.allclose(r64.trajs_final, r128.trajs_final)
+
+
+def test_plan_batch_bf16_transfer_and_failure_payload():
+    """transfer_dtype=bf16 compresses only the candidate transfer (metrics
+    exact, candidates within bf16 rounding of full-precision); best-only
+    mode returns NaN trajectories for failed queries instead of passing
+    off candidate 0 as a chosen plan (ADVICE r4 / VERDICT r4 #8)."""
+    ds = _toy_ds()
+    planner = _toy_planner(ds)
+    trs = np.asarray(ds.trajs)
+    starts = jnp.asarray(trs[:2, 0, :2])
+    goals = jnp.asarray(trs[:2, -1, :2])
+    key = jax.random.PRNGKey(8)
+    r_full = planner.plan_batch(key, starts, goals)
+    r_bf16 = planner.plan_batch(key, starts, goals,
+                                transfer_dtype=jnp.bfloat16)
+    for a, b in zip(r_full, r_bf16):
+        assert b.trajs_final.dtype == np.float32
+        # bf16 has ~2-3 significant decimal digits; trajectories are O(1)
+        np.testing.assert_allclose(a.trajs_final, b.trajs_final, atol=2e-2)
+        # metrics computed on-device from the f32 tensor: exactly equal
+        assert a.success == b.success
+        np.testing.assert_array_equal(a.free_mask, b.free_mask)
+        assert a.cost_best == b.cost_best
+        assert a.idx_best == b.idx_best
+
+    # guaranteed failure: an oracle margin so large every point collides
+    ds_fail = _toy_ds(obstacle_cutoff_margin=10.0)
+    p_fail = _toy_planner(ds_fail)
+    [rb] = p_fail.plan_batch(key, starts[:1], goals[:1],
+                             return_all_trajs=False)
+    assert rb.success == 0
+    assert np.isnan(rb.trajs_final).all()
+    assert rb.idx_best is None and rb.cost_best is None
+    # full mode still returns the (finite) candidate set on failure
+    [rf] = p_fail.plan_batch(key, starts[:1], goals[:1])
+    assert rf.success == 0 and np.isfinite(rf.trajs_final).all()
