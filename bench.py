@@ -37,7 +37,7 @@ def log(*a):
 def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
                 respaced=False, fused="auto", env_id="EnvDense2D",
                 robot_id="RobotPointMass", n_guide_steps=5, w_coll=1e-2,
-                respaced_times=None, bf16=False):
+                respaced_times=None, bf16=False, num_interp=128):
     """One compiled guided query over B candidates; with `mesh`, the
     candidate axis is sharded across it (bench_multichip.py scaling lane)
     and the Pallas guide kernel runs shard_mapped over 'data'.
@@ -127,7 +127,7 @@ def build_query(B, H=64, schedule_steps=25, mesh=None, ddim=False,
         cost=cost,
         clip_grad=True,
         interpolate_trajectories_for_collision=True,
-        num_interpolated_points_for_collision=128,
+        num_interpolated_points_for_collision=num_interp,
         fused_collision=fused,
         # under a mesh the kernel runs shard_mapped over the candidate axis
         # (parallel.shard_map_batch0) — same rule as MotionPlanner(mesh=...)
