@@ -80,12 +80,23 @@ class Trainer:
         val_fraction: float = 0.05,
         seed: int = 0,
         mesh: Optional[Mesh] = None,
+        contexts: Optional[jnp.ndarray] = None,
     ):
         """`mesh` turns the scan-fused step data-parallel: params/opt state
         replicated, the gathered batch sharded on axis 0 of the mesh's
         'data' axis — XLA inserts the gradient psum over ICI. Single-device
         semantics are bit-preserved (same batch indices, same loss math);
-        only the layout changes."""
+        only the layout changes.
+
+        `contexts` ([N, C], aligned row-for-row with `trajs_normalized`)
+        trains a CONDITIONED eps-model: the per-trajectory context vector
+        is gathered with the same batch indices and passed as the net's
+        third argument — the counterpart of the reference's build_context
+        flowing into the loss (ref mpd/models/diffusion_models/
+        diffusion_model_base.py:30-43 + losses/gaussian_diffusion_loss.py:13-22)
+        for the 'default'/'attention'/'concatenate' conditioning modes of
+        TemporalUnet. Inference binds the query's context in the eps_fn
+        closure (see scripts/train_conditioned_toy.py)."""
         self.net = net
         self.schedule = schedule
         self.config = config
@@ -98,14 +109,22 @@ class Trainer:
         perm = np.random.RandomState(seed).permutation(n)
         self.train_data = jnp.asarray(trajs_normalized[perm[n_val:]])
         self.val_data = jnp.asarray(trajs_normalized[perm[:n_val]])
+        if contexts is not None:
+            assert contexts.shape[0] == n, "contexts must align with trajs"
+            contexts = jnp.asarray(contexts)
+            self.train_ctx = contexts[perm[n_val:]]
+            self.val_ctx = contexts[perm[:n_val]]
+        else:
+            self.train_ctx = self.val_ctx = None
 
         _, H, D = trajs_normalized.shape
         self.H, self.D = H, D
 
         key = jax.random.PRNGKey(seed)
-        params = net.init(
-            key, jnp.zeros((2, H, D)), jnp.zeros((2,), jnp.int32)
-        )
+        init_args = (jnp.zeros((2, H, D)), jnp.zeros((2,), jnp.int32))
+        if contexts is not None:
+            init_args += (jnp.zeros((2, contexts.shape[-1]), contexts.dtype),)
+        params = net.init(key, *init_args)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.clip_grad_norm),
             optax.adam(config.lr),
@@ -127,6 +146,9 @@ class Trainer:
             # step re-lays the gathered rows out across the 'data' axis
             self.train_data = jax.device_put(self.train_data, repl)
             self.val_data = jax.device_put(self.val_data, repl)
+            if self.train_ctx is not None:
+                self.train_ctx = jax.device_put(self.train_ctx, repl)
+                self.val_ctx = jax.device_put(self.val_ctx, repl)
 
         # unjitted step for lax.scan fusion (fit / bench scan this directly
         # — scanning the jitted version would nest jits and drop donation);
@@ -138,17 +160,23 @@ class Trainer:
         self._val_loss = jax.jit(self._make_val_loss())
 
     # ------------------------------------------------------------------
-    def _eps_fn(self, params):
-        if self.config.use_bf16:
-            net_bf16 = self.net.clone(dtype=jnp.bfloat16)
-            return lambda x, t: net_bf16.apply(params, x, t)
-        return lambda x, t: self.net.apply(params, x, t)
+    def _eps_fn(self, params, ctx=None):
+        """ctx (traced [B, C] batch context) is bound into the closure so
+        diffusion_loss's eps_fn(x, t) contract is unchanged."""
+        net = (
+            self.net.clone(dtype=jnp.bfloat16)
+            if self.config.use_bf16
+            else self.net
+        )
+        if ctx is None:
+            return lambda x, t: net.apply(params, x, t)
+        return lambda x, t: net.apply(params, x, t, ctx)
 
-    def _batch_loss(self, params, batch, key):
+    def _batch_loss(self, params, batch, key, ctx=None):
         hard_conds = {0: batch[:, 0, :], self.H - 1: batch[:, -1, :]}
         return diffusion_loss(
             self.schedule,
-            self._eps_fn(params),
+            self._eps_fn(params, ctx),
             key,
             batch,
             hard_conds,
@@ -159,15 +187,21 @@ class Trainer:
     def _make_train_step(self):
         cfg = self.config
         data = self.train_data
+        ctx_data = self.train_ctx
         n = data.shape[0]
 
         def step_fn(state: TrainState, key: jax.Array):
             key_idx, key_loss = jax.random.split(key)
             idx = jax.random.randint(key_idx, (cfg.batch_size,), 0, n)
             batch = constrain_batch(self.mesh, data[idx])
+            ctx = (
+                constrain_batch(self.mesh, ctx_data[idx])
+                if ctx_data is not None
+                else None
+            )
 
             loss, grads = jax.value_and_grad(self._batch_loss)(
-                state.params, batch, key_loss
+                state.params, batch, key_loss, ctx
             )
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -190,7 +224,12 @@ class Trainer:
     def _make_val_loss(self):
         def val_fn(params, key):
             batch = constrain_batch(self.mesh, self.val_data)
-            return self._batch_loss(params, batch, key)
+            ctx = (
+                constrain_batch(self.mesh, self.val_ctx)
+                if self.val_ctx is not None
+                else None
+            )
+            return self._batch_loss(params, batch, key, ctx)
 
         return val_fn
 
