@@ -369,12 +369,26 @@ def make_panda_guide_update(
     max_grad_norm: float = 1.0,
     block_b: Optional[int] = None,
     interpret: bool = False,
+    pack: Optional[int] = None,
 ) -> Optional[Callable]:
     """FULL guide-step megakernel: fn(x_norm [..., H, 14], weights [2]) ->
     guide update [..., H, 14] — the entire
     `GuideTrajectoriesWithVelocity.__call__` for the production Panda
     composite (CostCollision + CostGPTrajectory, norm-clip, endpoint
     zeroing) in ONE Pallas program.
+
+    `pack` (r5): lane-packing factor. The kernel's working tiles are
+    [bb, num_interp] and [bb, H]; with num_interp = H = 64 both pad to
+    the 128-wide VPU lane tile and HALF the vector issue slots do padding
+    work — which is why the r5 interp-count sweep measured 64/96 points
+    throughput-NEUTRAL (results_perf/tune_interp_r5.json). pack=2 packs
+    TWO trajectories side-by-side in each 128-lane tile (block-diagonal
+    interp/shift matrices, per-lane column masks via col mod H), so the
+    whole FK/SDF/GP chain does 2x the trajectories per vector op —
+    num_interp=64's work reduction actually realized. Requires
+    pack * num_interp == pack * H == 128 lanes; None auto-selects
+    (2 when H == num_interp == 64, else 1). Math is identical per
+    trajectory (same tree-min order, same matmul row contents).
 
     Motivation (r4): at B=1024 the collision kernel is ~150-200 us of a
     ~350 us guide eval — the other half is the HBM-bound elementwise
@@ -428,15 +442,17 @@ def make_panda_guide_update(
     max_gn = float(max_grad_norm)
     EPS = 1e-6
 
-    def kernel(x_ref, w_ref, wt_ref, sl_ref, sr_ref, wts_ref, out_ref):
-        # x_ref: [14, bb, H] normalized state; wts_ref: [2] SMEM weights
+    def kernel(x_ref, w_ref, wt_ref, sl_ref, sr_ref, wts_ref, out_ref,
+               *, n_sup):
+        # x_ref: [14, bb, pack*H] normalized state (pack trajectories per
+        # lane tile; pack=1 is the plain layout); wts_ref: [2] SMEM
+        # weights; n_sup = H, the per-trajectory support-point count
         W = w_ref[:]
         Wt = wt_ref[:]
         SL = sl_ref[:]
         SR = sr_ref[:]
         w_coll = wts_ref[0]
         w_gp = wts_ref[1]
-        H = x_ref.shape[2]
 
         # ---- unnormalize (clip + affine), reference op order preserved
         xs = []
@@ -458,9 +474,16 @@ def make_panda_guide_update(
             gcoll.append(jnp.dot(gj, Wt, **_MATMUL_KW))  # [bb, H]
 
         # ---- closed-form GP gradient, shifts as exact matmuls
-        # mask of columns t < H-1 (residuals exist for t = 0..H-2)
+        # mask of columns t < H-1 (residuals exist for t = 0..H-2); under
+        # pack>1 the lane index is col mod H within each packed trajectory
         col = jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 1)
-        m_lt = (col < H - 1).astype(jnp.float32)
+        if zeros2.shape[1] != n_sup:
+            col = (
+                col & (n_sup - 1)
+                if (n_sup & (n_sup - 1)) == 0
+                else col % n_sup
+            )
+        m_lt = (col < n_sup - 1).astype(jnp.float32)
         ggp = [None] * 14
         for j in range(7):
             q = xs[j]
@@ -492,7 +515,7 @@ def make_panda_guide_update(
         sc_gp = jnp.minimum(norm_gp, max_gn) / norm_gp
 
         # ---- endpoint rows zeroed AFTER clipping; weighted sum, negated
-        interior = ((col > 0) & (col < H - 1)).astype(jnp.float32)
+        interior = ((col > 0) & (col < n_sup - 1)).astype(jnp.float32)
         for j in range(14):
             acc = w_gp * (sc_gp * ggp[j])
             if j < 7:
@@ -500,51 +523,82 @@ def make_panda_guide_update(
             out_ref[j] = -interior * acc
 
     def apply(x_norm: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+        import functools
+
+        def block_diag(*mats):
+            n = sum(m.shape[0] for m in mats)
+            k = sum(m.shape[1] for m in mats)
+            out = np.zeros((n, k), np.float32)
+            r = c = 0
+            for m in mats:
+                out[r : r + m.shape[0], c : c + m.shape[1]] = m
+                r += m.shape[0]
+                c += m.shape[1]
+            return out
+
         lead = x_norm.shape[:-2]
         H = x_norm.shape[-2]
+        p = pack
+        if p is None:
+            p = 2 if (H == 64 and num_interp == 64) else 1
+        if p * H > 128 or p * num_interp > 128 or p < 1:
+            p = 1
         x2 = x_norm.reshape((-1, H, 14))
         B = x2.shape[0]
         bb = block_b if block_b is not None else (64 if B >= 512 else 8)
+        bb = max(bb, p)
+        # pad B to a multiple of lcm(bb, p) (bb is a multiple of p below)
+        bb = -(-bb // p) * p
         Bp = -(-B // bb) * bb
         if Bp != B:
             x2 = jnp.concatenate(
                 [x2, jnp.zeros((Bp - B, H, 14), x2.dtype)], axis=0
             )
         xt = x2.astype(jnp.float32).transpose(2, 0, 1)  # [14, Bp, H]
-        W = jnp.asarray(_interp_matrix(H, num_interp))
+        if p > 1:
+            # p consecutive trajectories side by side per lane row:
+            # (j, b, h) -> (j, b // p, (b % p) * H + h)
+            xt = xt.reshape(14, Bp // p, p * H)
+        W1 = _interp_matrix(H, num_interp)
+        SL1 = _shift_left_matrix(H)
+        W = jnp.asarray(block_diag(*([W1] * p)))
         Wt = W.T
-        SL = jnp.asarray(_shift_left_matrix(H))
+        SL = jnp.asarray(block_diag(*([SL1] * p)))
         SR = SL.T
         wts = jnp.asarray(weights, jnp.float32).reshape((2,))
 
+        bbp, Hp, Np = bb // p, p * H, p * num_interp
         out = pl.pallas_call(
-            kernel,
+            functools.partial(kernel, n_sup=H),
             grid=(Bp // bb,),
             in_specs=[
                 pl.BlockSpec(
-                    (14, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                    (14, bbp, Hp), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (H, num_interp), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (Hp, Np), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (num_interp, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (Np, Hp), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (H, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (Hp, Hp), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (H, H), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (Hp, Hp), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (14, bb, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (14, bbp, Hp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((14, Bp, H), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((14, Bp // p, Hp), jnp.float32),
             interpret=interpret,
         )(xt, W, Wt, SL, SR, wts)
 
+        if p > 1:
+            out = out.reshape(14, Bp, H)
         g = out.transpose(1, 2, 0)[:B].astype(x_norm.dtype)
         return g.reshape(lead + (H, 14))
 

@@ -535,3 +535,42 @@ def test_pointmass_full_guide_always_on():
         dt=5.0 / 16, interpret=True,
     )
     assert fn is not None and fn.min_batch == 1
+
+
+def test_panda_full_guide_pack2_bitwise_matches_pack1():
+    """The r5 lane-packed full-guide kernel (pack=2: two trajectories per
+    128-lane VPU tile at H = num_interp = 64 — the layout that makes the
+    interp-64 work reduction real instead of lane padding) must be
+    BITWISE identical to the plain layout: same per-trajectory math, same
+    tree-min merge order, block-diagonal matmuls whose rows contain the
+    same nonzeros. Covers even/odd batch sizes (padding) and traced
+    weight values."""
+    from mpd_tpu.kernels.panda_guide import make_panda_guide_update
+    from mpd_tpu.world import get_env, get_robot
+
+    env = get_env("EnvSpheres3D")
+    robot = get_robot("RobotPanda")
+    vlim = 2.5 * np.ones(7)
+    mins = np.concatenate([np.asarray(robot.q_min), -vlim]).astype(np.float32)
+    maxs = np.concatenate([np.asarray(robot.q_max), vlim]).astype(np.float32)
+    kw = dict(margin=0.05, sigma=1.0, normalizer_mins=mins,
+              normalizer_maxs=maxs, dt=5.0 / 64, sigma_gp=1.0,
+              num_interp=64, interpret=True)
+    f1 = make_panda_guide_update(robot, env.objects, pack=1, **kw)
+    f2 = make_panda_guide_update(robot, env.objects, pack=2, **kw)
+    # auto rule: H == num_interp == 64 -> pack 2 (exercised via pack=None)
+    f_auto = make_panda_guide_update(robot, env.objects, **kw)
+    w = jnp.asarray([5e-2, 1e-7])
+    for B in (24, 7):
+        x = jax.random.uniform(jax.random.PRNGKey(B), (B, 64, 14),
+                               minval=-1.0, maxval=1.0)
+        a = np.asarray(f1(x, w))
+        np.testing.assert_array_equal(a, np.asarray(f2(x, w)))
+        np.testing.assert_array_equal(a, np.asarray(f_auto(x, w)))
+    # a different traced weight setting stays exact too
+    w2 = jnp.asarray([3e-2, 2e-7])
+    x = jax.random.uniform(jax.random.PRNGKey(3), (8, 64, 14),
+                           minval=-1.0, maxval=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(f1(x, w2)), np.asarray(f2(x, w2))
+    )
