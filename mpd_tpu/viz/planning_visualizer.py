@@ -324,3 +324,76 @@ class PlanningVisualizer:
             alt = os.path.splitext(path)[0] + ".gif"
             anim.save(alt, writer="pillow")
         plt.close(fig)
+
+
+# ----------------------------------------------------------------------
+# Standalone plotting statistics helpers (clean-room equivalents of the
+# reference's unused-by-pipelines utilities, ref mpd/plotting/base.py:
+# export_legend :17-26, confidence_ellipse :80-130,
+# mean_confidence_interval :133-139 — rebuilt from their call contracts
+# for surface completeness; nothing in the pipelines consumes them).
+
+
+def export_legend(ax, filename="legend.pdf", plot_dir="", ncol=10,
+                  linewidth=7):
+    """Save ONLY the legend of `ax` as its own figure file (paper-figure
+    helper): thick line handles, `ncol` columns, tight crop."""
+    handles, labels = ax.get_legend_handles_labels()
+    fig2 = plt.figure()
+    legend = fig2.legend(
+        handles, labels, ncol=ncol, loc="center", frameon=False
+    )
+    for line in legend.get_lines():
+        line.set_linewidth(linewidth)
+    fig2.canvas.draw()
+    bbox = legend.get_window_extent().transformed(
+        fig2.dpi_scale_trans.inverted()
+    )
+    path = os.path.join(plot_dir, filename) if plot_dir else filename
+    fig2.savefig(path, dpi=300, bbox_inches=bbox)
+    plt.close(fig2)
+    return path
+
+
+def confidence_ellipse(x, y, ax, n_std=3.0, facecolor="none", **kwargs):
+    """Draw the n_std-sigma covariance-confidence ellipse of (x, y) on
+    `ax` (standard Pearson-correlation construction: unit circle scaled
+    by sqrt(1 +- r), then stretched by the per-axis stds and recentered).
+    Returns the added patch."""
+    import matplotlib.transforms as transforms
+
+    x = np.asarray(x, np.float64).ravel()
+    y = np.asarray(y, np.float64).ravel()
+    if x.size != y.size:
+        raise ValueError("x and y must be the same size")
+    cov = np.cov(x, y)
+    denom = np.sqrt(cov[0, 0] * cov[1, 1])
+    pearson = cov[0, 1] / denom if denom > 0 else 0.0
+    rx = np.sqrt(1 + pearson)
+    ry = np.sqrt(1 - pearson)
+    ellipse = patches.Ellipse(
+        (0, 0), width=2 * rx, height=2 * ry, facecolor=facecolor, **kwargs
+    )
+    sx = np.sqrt(cov[0, 0]) * n_std
+    sy = np.sqrt(cov[1, 1]) * n_std
+    transf = (
+        transforms.Affine2D()
+        .rotate_deg(45)
+        .scale(sx, sy)
+        .translate(np.mean(x), np.mean(y))
+    )
+    ellipse.set_transform(transf + ax.transData)
+    return ax.add_patch(ellipse)
+
+
+def mean_confidence_interval(data, confidence=0.95, axis=0):
+    """(mean, half-width) of the Student-t confidence interval of `data`
+    along `axis` (standard error x t-quantile at the given confidence)."""
+    from scipy import stats
+
+    a = np.asarray(data, np.float64)
+    n = a.shape[axis]
+    mean = np.mean(a, axis=axis)
+    se = stats.sem(a, axis=axis)
+    h = se * stats.t.ppf((1 + confidence) / 2.0, n - 1)
+    return mean, h

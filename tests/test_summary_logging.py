@@ -143,3 +143,48 @@ def test_summary_cadence_respects_step_offset():
                 step_offset=10)
     # global steps 15..40 -> summary at 20 and 40
     assert fired == [20, 40]
+
+
+def test_plotting_stats_helpers(tmp_path):
+    """Clean-room equivalents of the reference's standalone plotting
+    helpers (ref mpd/plotting/base.py:17-139): legend export writes a
+    file, the confidence ellipse adds a correctly-centered patch, and the
+    t-interval matches the closed form."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from scipy import stats
+
+    from mpd_tpu.viz import (
+        confidence_ellipse,
+        export_legend,
+        mean_confidence_interval,
+    )
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1], label="a")
+    ax.plot([0, 1], [1, 0], label="b")
+    out = export_legend(ax, filename="legend.png", plot_dir=str(tmp_path))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(2.0, 1.0, 500)
+    y = 0.5 * x + rng.normal(0, 0.5, 500)
+    n_before = len(ax.patches)
+    e = confidence_ellipse(x, y, ax, n_std=2.0, edgecolor="k")
+    assert len(ax.patches) == n_before + 1
+    # the transform recenters the unit ellipse on the sample mean
+    cx, cy = e.get_transform().transform((0.0, 0.0))
+    ex, ey = (ax.transData).transform((x.mean(), y.mean()))
+    np.testing.assert_allclose((cx, cy), (ex, ey), atol=1e-6)
+    plt.close(fig)
+
+    data = rng.normal(5.0, 2.0, (40, 3))
+    mean, h = mean_confidence_interval(data, confidence=0.95)
+    np.testing.assert_allclose(mean, data.mean(0))
+    se = data.std(0, ddof=1) / np.sqrt(40)
+    np.testing.assert_allclose(h, se * stats.t.ppf(0.975, 39), rtol=1e-6)
