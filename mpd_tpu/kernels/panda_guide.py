@@ -546,9 +546,10 @@ def make_panda_guide_update(
         x2 = x_norm.reshape((-1, H, 14))
         B = x2.shape[0]
         bb = block_b if block_b is not None else (64 if B >= 512 else 8)
-        bb = max(bb, p)
-        # pad B to a multiple of lcm(bb, p) (bb is a multiple of p below)
-        bb = -(-bb // p) * p
+        # Mosaic needs the block's sublane (second-to-last) dim divisible
+        # by 8: the packed block is [14, bb/p, p*H], so bb must be a
+        # multiple of 8*p (p=1 keeps the plain rule — bb is already 8/64)
+        bb = -(-max(bb, 8 * p) // (8 * p)) * (8 * p)
         Bp = -(-B // bb) * bb
         if Bp != B:
             x2 = jnp.concatenate(
