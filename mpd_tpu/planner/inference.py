@@ -111,6 +111,18 @@ class PlannerConfig:
     # pushes stragglers out of collision late without inflating path
     # length during the early tail steps.
     post_guide_w_coll_ramp: Optional[Tuple[float, float]] = None
+    # freeze-when-free adaptive tail (r5): each post-guide tail step
+    # updates ONLY trajectories the validity oracle still flags as
+    # in-collision; already-free candidates are frozen and keep their
+    # (shorter) paths. The guide is deterministic, so an unchanged free
+    # trajectory stays free — freezing is monotone without carried state.
+    # Strictly dominates the constant/ramp tails on the quality-vs-path
+    # frontier wherever the oracle and the guide agree: stragglers get
+    # the full push while the free subset pays zero path cost. Costs one
+    # oracle eval (interp + FK + SDF sign check, ~the forward half of a
+    # guide eval) per tail step. No reference counterpart (the reference
+    # tail pushes every candidate, ref inference.py:263-282).
+    post_guide_freeze_free: bool = False
     # interpolation count for collision guide terms. Default 128 = the
     # reference's EFFECTIVE value (a kwarg-name mismatch at its call site
     # ignores the intended ceil(1.5*64)=96 — ref inference.py:233-236 vs
@@ -333,7 +345,15 @@ class MotionPlanner:
                     w = jnp.concatenate(
                         [guide_weights[:-1] * s, guide_weights[-1:]]
                     )
-                    x = x + self.guide(x, weights=w)
+                    upd = self.guide(x, weights=w)
+                    if config.post_guide_freeze_free:
+                        # per-trajectory adaptive tail: freeze candidates
+                        # the oracle already accepts (see PlannerConfig)
+                        free = task.trajs_free_mask(
+                            dataset.unnormalize_trajectories(x)
+                        )
+                        upd = jnp.where(free[:, None, None], 0.0, upd)
+                    x = x + upd
                     from mpd_tpu.diffusion.gaussian_diffusion import (
                         apply_hard_conditioning,
                     )
@@ -442,7 +462,13 @@ class MotionPlanner:
                     w = jnp.concatenate(
                         [guide_weights[:-1] * s, guide_weights[-1:]]
                     )
-                    x = x + guide(x, weights=w)
+                    upd = guide(x, weights=w)
+                    if config.post_guide_freeze_free:
+                        free = task.trajs_free_mask(
+                            dataset.unnormalize_trajectories(x)
+                        )
+                        upd = jnp.where(free[:, None, None], 0.0, upd)
+                    x = x + upd
                     return apply_hard_conditioning(x, hard_conds), None
 
                 x_final, _ = jax.lax.scan(body, x_final, post_scales)

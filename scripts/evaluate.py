@@ -78,6 +78,10 @@ def main():
                         "'diffusion_prior_then_guide' overrides the default "
                         "(t_start+extra)*n_guide tail; default = variant "
                         "default, explicit 0 = tail-free")
+    p.add_argument("--post-guide-freeze-free", action="store_true",
+                   help="freeze-when-free adaptive tail: each tail step "
+                        "updates only trajectories still in collision; "
+                        "free candidates keep their (shorter) paths")
     p.add_argument("--post-guide-ramp", default=None,
                    help="'s0,s1': linear multiplier ramp on the collision "
                         "guide weights over the post-guide tail (e.g. "
@@ -160,6 +164,7 @@ def main():
                             if args.respaced_times else None),
             fused_collision_guide=args.fused_collision,
             n_post_guide_steps=args.n_post_guide_steps,
+            post_guide_freeze_free=args.post_guide_freeze_free,
             post_guide_w_coll_ramp=(
                 tuple(float(s) for s in args.post_guide_ramp.split(","))
                 if args.post_guide_ramp else None

@@ -50,6 +50,12 @@ def main():
                    help="pure-guide tail after the chain (mpd hybrid / "
                         "prior_then_guide override); default = variant "
                         "default, explicit 0 = tail-free")
+    p.add_argument("--post-guide-ramp", default=None,
+                   help="'s0,s1': linear w_coll multiplier ramp over the "
+                        "post-guide tail (see evaluate.py)")
+    p.add_argument("--post-guide-freeze-free", action="store_true",
+                   help="freeze-when-free adaptive tail: tail steps update "
+                        "only trajectories still in collision")
     p.add_argument("--use-respaced", action="store_true",
                    help="respaced-DDPM fast lane (see evaluate.py)")
     p.add_argument("--n-devices", type=int, default=0,
@@ -130,6 +136,11 @@ def main():
             ddim_refine_anneal_t=args.ddim_refine_anneal_t,
             use_respaced=args.use_respaced,
             n_post_guide_steps=args.n_post_guide_steps,
+            post_guide_w_coll_ramp=(
+                tuple(float(s) for s in args.post_guide_ramp.split(","))
+                if args.post_guide_ramp else None
+            ),
+            post_guide_freeze_free=args.post_guide_freeze_free,
         ),
     )
 

@@ -353,6 +353,87 @@ def test_post_guide_w_coll_ramp():
                                rtol=1e-6, atol=1e-7)
 
 
+def _freeze_tail_setup():
+    """Planner whose chain provably ends at a chosen target batch: the
+    eps 'model' is the closure eps = (x - sqrt_acp*T) / sqrt_1macp, which
+    makes every x0_hat prediction exactly T, so the (unguided) prior
+    chain converges to T. Targets: candidates 0-1 follow a collision-free
+    edge path around EnvSimple2D's obstacles, candidates 2-3 cut straight
+    through the center sphere ((0,0), r=0.22) — a deterministic mixed
+    free/colliding mask at tail entry."""
+    ds = _toy_ds()
+    H = 16
+    s = np.array([-0.85, -0.85], np.float32)
+    g = np.array([0.85, 0.85], np.float32)
+    # edge path: s -> (0.85, -0.85) -> g (clearance >= 0.25 everywhere)
+    half = H // 2
+    u = np.linspace(0.0, 1.0, half, endpoint=False)[:, None]
+    leg1 = s[None] * (1 - u) + np.array([0.85, -0.85])[None] * u
+    v = np.linspace(0.0, 1.0, H - half)[:, None]
+    leg2 = np.array([0.85, -0.85])[None] * (1 - v) + g[None] * v
+    edge = np.concatenate([leg1, leg2], axis=0)  # [H, 2]
+    # straight diagonal: passes through the center sphere
+    w = np.linspace(0.0, 1.0, H)[:, None]
+    diag = s[None] * (1 - w) + g[None] * w
+    pos = np.stack([edge, edge, diag, diag])  # [4, H, 2]
+    vel = np.gradient(pos, 5.0 / H, axis=1)
+    targets = jnp.asarray(np.concatenate([pos, vel], -1), jnp.float32)
+    T_norm = ds.normalize_trajectories(targets)  # [4, H, 4]
+
+    sched = make_schedule("exponential", 25)
+    sa = sched.sqrt_alphas_cumprod
+    s1 = sched.sqrt_one_minus_alphas_cumprod
+
+    def eps_fn(params, x, t):
+        return (x - sa[t][:, None, None] * T_norm) / s1[t][:, None, None]
+
+    def make(**cfg_kw):
+        return MotionPlanner(
+            ds, sched, eps_fn, params={"unused": jnp.zeros(())},
+            config=PlannerConfig(
+                n_samples=4, planner_alg="diffusion_prior_then_guide",
+                n_guide_steps=1, n_post_guide_steps=6,
+                weight_grad_cost_collision=3e-2, **cfg_kw,
+            ),
+        )
+
+    return ds, make, jnp.asarray(s), jnp.asarray(g)
+
+
+def test_post_guide_freeze_free_tail():
+    """r5 freeze-when-free adaptive tail: candidates the oracle already
+    accepts at tail entry are frozen (unchanged through the tail, hence
+    still free at the end, with their shorter pre-tail paths); colliding
+    candidates keep receiving the full guide push. Flag off reproduces
+    the r4 behavior (every candidate pushed, free ones included)."""
+    ds, make, s, g = _freeze_tail_setup()
+    pf = make(post_guide_freeze_free=True)
+    r = pf.plan(jax.random.PRNGKey(2), s, g, return_chain=True)
+    n_post = pf._n_post_steps
+    chain_end = np.asarray(r.trajs_chain[-(n_post + 1)])  # tail entry
+    free0 = np.asarray(ds.task.trajs_free_mask(jnp.asarray(chain_end)))
+    assert free0.any() and not free0.all(), (
+        f"setup must yield a mixed mask at tail entry, got {free0}"
+    )
+    # free-at-tail-entry candidates are frozen: final == tail entry
+    np.testing.assert_allclose(
+        r.trajs_final[free0], chain_end[free0], rtol=1e-6, atol=1e-6
+    )
+    # frozen candidates stay free; the free set is monotone over the tail
+    assert r.free_mask[free0].all()
+    assert r.fraction_free >= float(free0.mean())
+    # colliding candidates still move (the full push)
+    assert not np.allclose(r.trajs_final[~free0], chain_end[~free0])
+    # flag off: the r4 tail pushes the free candidates too (the GP
+    # smoothness term alone moves an already-free path)
+    r_off = make().plan(jax.random.PRNGKey(2), s, g, return_chain=True)
+    assert not np.allclose(r_off.trajs_final[free0], chain_end[free0])
+    # the serving path accepts the flag (plan_batch tail body)
+    rb = pf.plan_batch(jax.random.PRNGKey(2), s[None], g[None])[0]
+    assert rb.free_mask[:2].all() if rb.free_mask.ndim else True
+    assert np.isfinite(float(rb.fraction_free))
+
+
 def test_num_interpolated_points_config():
     """PlannerConfig.num_interpolated_points reaches the guide (VERDICT
     r4 #3: the 96/64 work-reduction lanes); different counts give
