@@ -123,6 +123,14 @@ class PlannerConfig:
     # guide eval) per tail step. No reference counterpart (the reference
     # tail pushes every candidate, ref inference.py:263-282).
     post_guide_freeze_free: bool = False
+    # early-exit tail (r5, plan_batch only): under freeze_when_free the
+    # tail is RESULT-IDENTICAL when stopped at the first step where every
+    # candidate is free (all remaining updates are masked to zero), so
+    # the serving path runs it as a lax.while_loop and refunds the
+    # remaining guide evals on easy query batches. `plan` keeps the scan
+    # (it returns the fixed-length chain). False forces the scan
+    # everywhere (A/B + equality test).
+    post_guide_early_exit: bool = True
     # interpolation count for collision guide terms. Default 128 = the
     # reference's EFFECTIVE value (a kwarg-name mismatch at its call site
     # ignores the intended ceil(1.5*64)=96 — ref inference.py:233-236 vs
@@ -458,20 +466,48 @@ class MotionPlanner:
                     apply_hard_conditioning,
                 )
 
-                def body(x, s):
-                    w = jnp.concatenate(
-                        [guide_weights[:-1] * s, guide_weights[-1:]]
-                    )
-                    upd = guide(x, weights=w)
-                    if config.post_guide_freeze_free:
+                if config.post_guide_freeze_free and config.post_guide_early_exit:
+                    # see PlannerConfig.post_guide_early_exit: identical
+                    # result to the scan below, but stops at the first
+                    # all-free step instead of running masked no-ops
+                    def cond_fn(carry):
+                        i, _, all_free = carry
+                        return jnp.logical_and(i < n_post_steps, ~all_free)
+
+                    def body_fn(carry):
+                        i, x, _ = carry
+                        w = jnp.concatenate(
+                            [guide_weights[:-1] * post_scales[i],
+                             guide_weights[-1:]]
+                        )
                         free = task.trajs_free_mask(
                             dataset.unnormalize_trajectories(x)
                         )
-                        upd = jnp.where(free[:, None, None], 0.0, upd)
-                    x = x + upd
-                    return apply_hard_conditioning(x, hard_conds), None
+                        upd = jnp.where(
+                            free[:, None, None], 0.0, guide(x, weights=w)
+                        )
+                        x = apply_hard_conditioning(x + upd, hard_conds)
+                        return (i + 1, x, jnp.all(free))
 
-                x_final, _ = jax.lax.scan(body, x_final, post_scales)
+                    _, x_final, _ = jax.lax.while_loop(
+                        cond_fn, body_fn,
+                        (jnp.int32(0), x_final, jnp.bool_(False)),
+                    )
+                else:
+                    def body(x, s):
+                        w = jnp.concatenate(
+                            [guide_weights[:-1] * s, guide_weights[-1:]]
+                        )
+                        upd = guide(x, weights=w)
+                        if config.post_guide_freeze_free:
+                            free = task.trajs_free_mask(
+                                dataset.unnormalize_trajectories(x)
+                            )
+                            upd = jnp.where(free[:, None, None], 0.0, upd)
+                        x = x + upd
+                        return apply_hard_conditioning(x, hard_conds), None
+
+                    x_final, _ = jax.lax.scan(body, x_final, post_scales)
 
             tq = dataset.unnormalize_trajectories(x_final).reshape(Q, B, H, D)
             coll_mask = task.trajs_collision_mask(tq)  # [Q, B, P]

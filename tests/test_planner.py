@@ -353,7 +353,7 @@ def test_post_guide_w_coll_ramp():
                                rtol=1e-6, atol=1e-7)
 
 
-def _freeze_tail_setup():
+def _freeze_tail_setup(all_free=False):
     """Planner whose chain provably ends at a chosen target batch: the
     eps 'model' is the closure eps = (x - sqrt_acp*T) / sqrt_1macp, which
     makes every x0_hat prediction exactly T, so the (unguided) prior
@@ -375,7 +375,10 @@ def _freeze_tail_setup():
     # straight diagonal: passes through the center sphere
     w = np.linspace(0.0, 1.0, H)[:, None]
     diag = s[None] * (1 - w) + g[None] * w
-    pos = np.stack([edge, edge, diag, diag])  # [4, H, 2]
+    if all_free:
+        pos = np.stack([edge] * 4)  # every candidate collision-free
+    else:
+        pos = np.stack([edge, edge, diag, diag])  # [4, H, 2]
     vel = np.gradient(pos, 5.0 / H, axis=1)
     targets = jnp.asarray(np.concatenate([pos, vel], -1), jnp.float32)
     T_norm = ds.normalize_trajectories(targets)  # [4, H, 4]
@@ -432,6 +435,26 @@ def test_post_guide_freeze_free_tail():
     rb = pf.plan_batch(jax.random.PRNGKey(2), s[None], g[None])[0]
     assert rb.free_mask[:2].all() if rb.free_mask.ndim else True
     assert np.isfinite(float(rb.fraction_free))
+
+
+def test_post_guide_early_exit_matches_scan():
+    """plan_batch's freeze-mode tail runs as an early-exiting while_loop
+    (PlannerConfig.post_guide_early_exit): once every candidate is free
+    the remaining scan steps would be masked no-ops, so stopping is
+    result-identical. Checked against the forced-scan path on a mixed
+    batch (loop runs to the cap) and an all-free batch (loop exits after
+    one step vs the scan's six)."""
+    for all_free in (False, True):
+        ds, make, s, g = _freeze_tail_setup(all_free=all_free)
+        p_we = make(post_guide_freeze_free=True)  # early exit defaults on
+        p_sc = make(post_guide_freeze_free=True, post_guide_early_exit=False)
+        ra = p_we.plan_batch(jax.random.PRNGKey(7), s[None], g[None])[0]
+        rb = p_sc.plan_batch(jax.random.PRNGKey(7), s[None], g[None])[0]
+        np.testing.assert_allclose(
+            ra.trajs_final, rb.trajs_final, rtol=1e-6, atol=1e-6
+        )
+        assert ra.fraction_free == rb.fraction_free
+        np.testing.assert_array_equal(ra.free_mask, rb.free_mask)
 
 
 def test_num_interpolated_points_config():
