@@ -395,7 +395,9 @@ def build_panda_query(model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500
 def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass",
                         Q=16, n_samples=50, w_coll=3e-2, n_guide_steps=5,
                         respaced_times=None, bf16=False,
-                        return_all_trajs=True):
+                        return_all_trajs=True,
+                        n_post_guide_steps=None, post_guide_ramp=None,
+                        freeze_tail=False):
     """Serving lane: Q planning queries per device call via plan_batch —
     the one-dispatch multi-query path that amortizes the per-call
     host<->device latency (the floor on single-query p50). Returns a
@@ -409,14 +411,23 @@ def build_serving_batch(model_dir="data_trained_models/EnvDense2D-RobotPointMass
 
     planner, ds = _load_planner(model_dir, n_samples, w_coll=w_coll,
                                 n_guide_steps=n_guide_steps, bf16=bf16)
+    cfg_updates = {}
     if respaced_times is not None:
+        cfg_updates.update(use_respaced=True,
+                           respaced_times=tuple(respaced_times))
+    if n_post_guide_steps is not None:
+        # quality-serving lanes (r5): freeze-when-free guide tail on the
+        # serving chain (RESULTS.md "Freeze tail on the SERVING chains")
+        cfg_updates.update(n_post_guide_steps=n_post_guide_steps,
+                           post_guide_w_coll_ramp=post_guide_ramp,
+                           post_guide_freeze_free=freeze_tail)
+    if cfg_updates:
         from mpd_tpu.planner import MotionPlanner
 
         planner = MotionPlanner(
             planner.dataset, planner.schedule, planner.eps_fn,
             params=planner.params,
-            config=dataclasses.replace(planner.config, use_respaced=True,
-                                       respaced_times=tuple(respaced_times)),
+            config=dataclasses.replace(planner.config, **cfg_updates),
         )
     pairs = _draw_query_pairs(ds, Q)
     starts = jnp.stack([p[0] for p in pairs])
@@ -1106,6 +1117,66 @@ def main():
     except Exception as e:
         log(f"Panda fast serving lane skipped: {e}")
 
+    log("compiling quality-serving lanes (freeze tail on the fast serving"
+        " chains)...")
+    serving_quality = {}
+    try:
+        if past_deadline("quality serving"):
+            raise TimeoutError("lane deadline")
+        # r5: the freeze-when-free guide tail on the 2D fast-serving lane
+        # (respaced-10 gs10 + 10 masked tail steps -> fraction-free
+        # 0.902 -> 0.988 on Dense2D at N=100, RESULTS.md). The lane
+        # reports BOTH the amortized latency and the driver-captured mean
+        # fraction-free over the Q random queries of this dispatch.
+        q_sq, Qsq = build_serving_batch(
+            Q=64, n_samples=50, w_coll=3e-2, n_guide_steps=10,
+            respaced_times=(0, 3, 6, 8, 11, 14, 17, 19, 22, 24),
+            return_all_trajs=False,
+            n_post_guide_steps=10, freeze_tail=True,
+        )
+        res_sq = q_sq(jrandom.PRNGKey(0))  # warmup/compile
+        ff = sum(r.fraction_free for r in res_sq) / len(res_sq)
+        t_q = time_serving(q_sq) / Qsq
+        serving_quality = {
+            "serving_quality_p50_s_per_query": round(t_q, 5),
+            "serving_quality_fraction_free": round(ff, 4),
+            "serving_quality_lane": "respaced10_gs10_freeze_tail10",
+        }
+        log(f"quality serving (2D): {t_q*1e3:.2f} ms/query amortized,"
+            f" fraction-free {ff:.3f}")
+    except Exception as e:
+        log(f"quality serving lane skipped: {e}")
+
+    panda_serving_quality = {}
+    try:
+        if past_deadline("Panda quality serving"):
+            raise TimeoutError("lane deadline")
+        # Panda quality serving: dense-head-15 respaced chain + the
+        # 25-step falling-ramp freeze tail (0.795 -> 0.971 fraction-free
+        # at N=100, RESULTS.md) — near the DDPM quality headline at 20
+        # eps-forwards and serving latency
+        q_pq, Qpq = build_serving_batch(
+            model_dir="data_trained_models/EnvSpheres3D-RobotPanda-500ctx",
+            Q=16, n_samples=100, w_coll=5e-2, n_guide_steps=15,
+            respaced_times=(0, 3, 6, 9, 12, 15, 16, 17, 18,
+                            19, 20, 21, 22, 23, 24),
+            return_all_trajs=False,
+            n_post_guide_steps=25, post_guide_ramp=(1.0, 0.25),
+            freeze_tail=True,
+        )
+        res_pq = q_pq(jrandom.PRNGKey(0))
+        ff = sum(r.fraction_free for r in res_pq) / len(res_pq)
+        t_q = time_serving(q_pq) / Qpq
+        panda_serving_quality = {
+            "panda_serving_quality_p50_s_per_query": round(t_q, 5),
+            "panda_serving_quality_fraction_free": round(ff, 4),
+            "panda_serving_quality_lane": "respaced_dh15_gs15_freeze_fall25",
+        }
+        log(f"quality serving (Panda): {t_q*1e3:.1f} ms/query amortized,"
+            f" fraction-free {ff:.3f}")
+    except Exception as e:
+        log(f"Panda quality serving lane skipped: {e}")
+
     log("compiling Panda respaced fast lane (dense-head-15, 20 forwards)...")
     panda_respaced = {}
     try:
@@ -1218,6 +1289,8 @@ def main():
         **serving_fast,
         **panda_serving,
         **panda_serving_fast,
+        **serving_quality,
+        **panda_serving_quality,
         **training,
         **datagen,
         **kernels_check,
@@ -1253,6 +1326,9 @@ def main():
         "panda_trajs_per_sec_large_batch",
         "panda_respaced_trajs_per_sec_large_batch", "panda_mfu_large_batch",
         "serving_fast_p50_s_per_query", "panda_serving_fast_p50_s_per_query",
+        "serving_quality_p50_s_per_query", "serving_quality_fraction_free",
+        "panda_serving_quality_p50_s_per_query",
+        "panda_serving_quality_fraction_free",
         "train_steps_per_sec", "train_mfu",
         "datagen_2d_context_s", "datagen_panda_context_s",
         "native_rrt_ms_per_path", "kernels_tpu_check", "backend",
