@@ -123,6 +123,15 @@ class PlannerConfig:
     # guide eval) per tail step. No reference counterpart (the reference
     # tail pushes every candidate, ref inference.py:263-282).
     post_guide_freeze_free: bool = False
+    # annealed restart noise (r5, requires freeze_when_free): per tail
+    # step, still-colliding candidates additionally receive Gaussian
+    # noise with std annealed linearly (s0 -> s1, normalized units)
+    # across the tail — simulated-annealing escapes for the stuck
+    # candidates the deterministic guide push cannot free (oscillating
+    # between obstacles); free candidates stay frozen and never see
+    # noise. The chain prefix is unchanged in distribution but not
+    # bitwise (one extra key split at the top when enabled).
+    post_guide_noise_anneal: Optional[Tuple[float, float]] = None
     # early-exit tail (r5, plan_batch only): under freeze_when_free the
     # tail is RESULT-IDENTICAL when stopped at the first step where every
     # candidate is free (all remaining updates are masked to zero), so
@@ -319,8 +328,30 @@ class MotionPlanner:
             post_scales = jnp.linspace(float(s0), float(s1), n_post_steps)
         else:
             post_scales = jnp.ones((max(n_post_steps, 1),), jnp.float32)
+        # per-step restart-noise std (annealed; see PlannerConfig)
+        if n_post_steps and config.post_guide_noise_anneal is not None:
+            if not config.post_guide_freeze_free:
+                raise ValueError(
+                    "post_guide_noise_anneal requires post_guide_freeze_free "
+                    "(the noise is masked to still-colliding candidates)"
+                )
+            g0, g1 = config.post_guide_noise_anneal
+            post_noise = jnp.linspace(float(g0), float(g1), n_post_steps)
+        else:
+            post_noise = jnp.zeros((max(n_post_steps, 1),), jnp.float32)
+
+        use_tail_noise = (
+            n_post_steps > 0 and config.post_guide_noise_anneal is not None
+        )
 
         def _query(key: jax.Array, hard_conds: HardConds, params, guide_weights):
+            if use_tail_noise:
+                # reserve an independent key for the tail's restart noise
+                # (only when the feature is on, so existing configs keep
+                # their exact chain noise)
+                key, tail_key = jax.random.split(key)
+            else:
+                tail_key = key  # unused (dead scan carry)
             step_eps_fn = (
                 eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
             )
@@ -346,29 +377,40 @@ class MotionPlanner:
                     self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
                 )
             if n_post_steps:
+                from mpd_tpu.diffusion.gaussian_diffusion import (
+                    apply_hard_conditioning,
+                )
+
                 # pure guide refinement after the prior chain
                 # (ref inference.py:263-282); `s` scales the collision-term
-                # weights per tail step (post_guide_w_coll_ramp)
-                def body(x, s):
+                # weights per tail step (post_guide_w_coll_ramp), `sig` is
+                # the annealed restart-noise std (post_guide_noise_anneal)
+                def body(carry, inp):
+                    x, k = carry
+                    s, sig = inp
                     w = jnp.concatenate(
                         [guide_weights[:-1] * s, guide_weights[-1:]]
                     )
                     upd = self.guide(x, weights=w)
+                    if use_tail_noise:
+                        k, sub = jax.random.split(k)
+                        upd = upd + sig * jax.random.normal(
+                            sub, x.shape, x.dtype
+                        )
                     if config.post_guide_freeze_free:
                         # per-trajectory adaptive tail: freeze candidates
-                        # the oracle already accepts (see PlannerConfig)
+                        # the oracle already accepts (see PlannerConfig);
+                        # the mask covers the restart noise too
                         free = task.trajs_free_mask(
                             dataset.unnormalize_trajectories(x)
                         )
                         upd = jnp.where(free[:, None, None], 0.0, upd)
-                    x = x + upd
-                    from mpd_tpu.diffusion.gaussian_diffusion import (
-                        apply_hard_conditioning,
-                    )
-                    x = apply_hard_conditioning(x, hard_conds)
-                    return x, x
+                    x = apply_hard_conditioning(x + upd, hard_conds)
+                    return (x, k), x
 
-                x_final, post_chain = jax.lax.scan(body, x_final, post_scales)
+                (x_final, _), post_chain = jax.lax.scan(
+                    body, (x_final, tail_key), (post_scales, post_noise)
+                )
                 chain = jnp.concatenate([chain, post_chain], axis=0)
             trajs_chain = dataset.unnormalize_trajectories(chain)
             trajs_final = trajs_chain[-1]
@@ -408,6 +450,7 @@ class MotionPlanner:
         self._query = jax.jit(_query)
         self._n_post_steps = n_post_steps
         self._post_scales = post_scales
+        self._post_noise = post_noise
         # compiled multi-query programs, keyed by Q (plan_batch)
         self._batch_queries = {}
 
@@ -434,8 +477,16 @@ class MotionPlanner:
         use_guide_in_chain = config.planner_alg == "mpd"
         n_post_steps = self._n_post_steps
         post_scales = self._post_scales
+        post_noise = self._post_noise
+        use_tail_noise = (
+            n_post_steps > 0 and config.post_guide_noise_anneal is not None
+        )
 
         def _query_batch(key, hard_conds, params, guide_weights):
+            if use_tail_noise:
+                key, tail_key = jax.random.split(key)
+            else:
+                tail_key = key  # unused (dead carry)
             step_eps_fn = (
                 eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
             )
@@ -471,43 +522,56 @@ class MotionPlanner:
                     # result to the scan below, but stops at the first
                     # all-free step instead of running masked no-ops
                     def cond_fn(carry):
-                        i, _, all_free = carry
+                        i, _, all_free, _k = carry
                         return jnp.logical_and(i < n_post_steps, ~all_free)
 
                     def body_fn(carry):
-                        i, x, _ = carry
+                        i, x, _, k = carry
                         w = jnp.concatenate(
                             [guide_weights[:-1] * post_scales[i],
                              guide_weights[-1:]]
                         )
+                        upd = guide(x, weights=w)
+                        if use_tail_noise:
+                            k, sub = jax.random.split(k)
+                            upd = upd + post_noise[i] * jax.random.normal(
+                                sub, x.shape, x.dtype
+                            )
                         free = task.trajs_free_mask(
                             dataset.unnormalize_trajectories(x)
                         )
-                        upd = jnp.where(
-                            free[:, None, None], 0.0, guide(x, weights=w)
-                        )
+                        upd = jnp.where(free[:, None, None], 0.0, upd)
                         x = apply_hard_conditioning(x + upd, hard_conds)
-                        return (i + 1, x, jnp.all(free))
+                        return (i + 1, x, jnp.all(free), k)
 
-                    _, x_final, _ = jax.lax.while_loop(
+                    _, x_final, _, _ = jax.lax.while_loop(
                         cond_fn, body_fn,
-                        (jnp.int32(0), x_final, jnp.bool_(False)),
+                        (jnp.int32(0), x_final, jnp.bool_(False), tail_key),
                     )
                 else:
-                    def body(x, s):
+                    def body(carry, inp):
+                        x, k = carry
+                        s, sig = inp
                         w = jnp.concatenate(
                             [guide_weights[:-1] * s, guide_weights[-1:]]
                         )
                         upd = guide(x, weights=w)
+                        if use_tail_noise:
+                            k, sub = jax.random.split(k)
+                            upd = upd + sig * jax.random.normal(
+                                sub, x.shape, x.dtype
+                            )
                         if config.post_guide_freeze_free:
                             free = task.trajs_free_mask(
                                 dataset.unnormalize_trajectories(x)
                             )
                             upd = jnp.where(free[:, None, None], 0.0, upd)
-                        x = x + upd
-                        return apply_hard_conditioning(x, hard_conds), None
+                        x = apply_hard_conditioning(x + upd, hard_conds)
+                        return (x, k), None
 
-                    x_final, _ = jax.lax.scan(body, x_final, post_scales)
+                    (x_final, _), _ = jax.lax.scan(
+                        body, (x_final, tail_key), (post_scales, post_noise)
+                    )
 
             tq = dataset.unnormalize_trajectories(x_final).reshape(Q, B, H, D)
             coll_mask = task.trajs_collision_mask(tq)  # [Q, B, P]

@@ -86,6 +86,11 @@ def main():
                    help="'s0,s1': linear multiplier ramp on the collision "
                         "guide weights over the post-guide tail (e.g. "
                         "'0.5,3.0' ends 3x stronger; default constant)")
+    p.add_argument("--post-guide-noise", default=None,
+                   help="'s0,s1': annealed restart-noise std (normalized "
+                        "units) added to STILL-COLLIDING candidates per "
+                        "tail step (requires --post-guide-freeze-free) — "
+                        "simulated-annealing escapes for stuck candidates")
     p.add_argument("--num-interp", type=int, default=128,
                    help="collision-guide interpolation count (128 = the "
                         "reference's effective value; 96 = its intended "
@@ -168,6 +173,10 @@ def main():
             post_guide_w_coll_ramp=(
                 tuple(float(s) for s in args.post_guide_ramp.split(","))
                 if args.post_guide_ramp else None
+            ),
+            post_guide_noise_anneal=(
+                tuple(float(s) for s in args.post_guide_noise.split(","))
+                if args.post_guide_noise else None
             ),
             num_interpolated_points=args.num_interp,
         ),

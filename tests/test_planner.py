@@ -457,6 +457,46 @@ def test_post_guide_early_exit_matches_scan():
         np.testing.assert_array_equal(ra.free_mask, rb.free_mask)
 
 
+def test_post_guide_noise_anneal():
+    """r5 annealed restart noise: still-colliding tail candidates get
+    per-step Gaussian noise (annealed std) on top of the guide push;
+    frozen (free) candidates never see it. Deterministic per key;
+    requires freeze mode."""
+    ds, make, s, g = _freeze_tail_setup()
+    pn = make(post_guide_freeze_free=True,
+              post_guide_noise_anneal=(0.3, 0.0))
+    r = pn.plan(jax.random.PRNGKey(2), s, g, return_chain=True)
+    n_post = pn._n_post_steps
+    chain_end = np.asarray(r.trajs_chain[-(n_post + 1)])
+    free0 = np.asarray(ds.task.trajs_free_mask(jnp.asarray(chain_end)))
+    assert free0.any() and not free0.all()
+    # frozen candidates: bitwise-frozen even with the noise feature on
+    np.testing.assert_allclose(
+        r.trajs_final[free0], chain_end[free0], rtol=1e-6, atol=1e-6
+    )
+    assert r.free_mask[free0].all()
+    # colliding candidates move differently than the noise-free tail
+    r_nf = make(post_guide_freeze_free=True).plan(
+        jax.random.PRNGKey(2), s, g
+    )
+    assert not np.allclose(
+        r.trajs_final[~free0], r_nf.trajs_final[~free0]
+    )
+    # deterministic: same key, same result
+    r2 = pn.plan(jax.random.PRNGKey(2), s, g)
+    np.testing.assert_array_equal(r.trajs_final, r2.trajs_final)
+    # endpoints stay pinned through the noisy tail
+    np.testing.assert_allclose(
+        r.trajs_final[:, 0, :2],
+        np.broadcast_to(np.asarray(s), (4, 2)), atol=1e-4)
+    # guard: noise without freeze is a config error
+    with pytest.raises(ValueError):
+        make(post_guide_noise_anneal=(0.3, 0.0))
+    # plan_batch: early-exit while_loop carries the noise key
+    rb = pn.plan_batch(jax.random.PRNGKey(2), s[None], g[None])[0]
+    assert np.isfinite(float(rb.fraction_free))
+
+
 def test_num_interpolated_points_config():
     """PlannerConfig.num_interpolated_points reaches the guide (VERDICT
     r4 #3: the 96/64 work-reduction lanes); different counts give
