@@ -123,6 +123,18 @@ class PlannerConfig:
     # guide eval) per tail step. No reference counterpart (the reference
     # tail pushes every candidate, ref inference.py:263-282).
     post_guide_freeze_free: bool = False
+    # per-candidate resampling passes (r5): after the chain (+tail),
+    # re-run the ENTIRE chain (+tail) with fresh noise and replace only
+    # the candidates the validity oracle still rejects — free candidates
+    # keep their plans. Independent redraws make the stuck fraction
+    # multiply: with per-candidate free probability p, k passes leave
+    # ~(1-p)^(k+1) stuck. The lever past the freeze tail's 0.990/0.993
+    # saturation (whose residual is geometrically trapped DRAWS, not
+    # recoverable states — see the restart-noise anti-result in
+    # RESULTS.md). Each pass costs one full chain on the whole batch
+    # (static shapes; masked merge). trajs_chain records pass 0, with
+    # one extra appended row per pass showing the merged state.
+    n_resample_passes: int = 0
     # annealed restart noise (r5, requires freeze_when_free): per tail
     # step, still-colliding candidates additionally receive Gaussian
     # noise with std annealed linearly (s0 -> s1, normalized units)
@@ -345,13 +357,6 @@ class MotionPlanner:
         )
 
         def _query(key: jax.Array, hard_conds: HardConds, params, guide_weights):
-            if use_tail_noise:
-                # reserve an independent key for the tail's restart noise
-                # (only when the feature is on, so existing configs keep
-                # their exact chain noise)
-                key, tail_key = jax.random.split(key)
-            else:
-                tail_key = key  # unused (dead scan carry)
             step_eps_fn = (
                 eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
             )
@@ -360,58 +365,88 @@ class MotionPlanner:
                 if use_guide_in_chain
                 else None
             )
-            if config.use_ddim:
-                x_final, chain = run_ddim_sampling(
-                    schedule, step_eps_fn, key, (B, H, D), hard_conds,
-                    self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
-                    extra_refine_steps=config.ddim_refine_steps,
-                    times=config.ddim_times, eta=config.ddim_eta,
-                    refine_noise_std=config.ddim_refine_noise_std,
-                    refine_anneal_t=config.ddim_refine_anneal_t,
-                )
-            else:
-                if self._respaced_times is not None:
-                    step_eps_fn = respace_eps_fn(step_eps_fn, self._respaced_times)
-                x_final, chain = run_sampling(
-                    self._run_schedule, step_eps_fn, key, (B, H, D), hard_conds,
-                    self.sampler_cfg, guide_fn=guide_fn, return_chain=True,
-                )
-            if n_post_steps:
-                from mpd_tpu.diffusion.gaussian_diffusion import (
-                    apply_hard_conditioning,
-                )
 
-                # pure guide refinement after the prior chain
-                # (ref inference.py:263-282); `s` scales the collision-term
-                # weights per tail step (post_guide_w_coll_ramp), `sig` is
-                # the annealed restart-noise std (post_guide_noise_anneal)
-                def body(carry, inp):
-                    x, k = carry
-                    s, sig = inp
-                    w = jnp.concatenate(
-                        [guide_weights[:-1] * s, guide_weights[-1:]]
+            def run_once(k, want_chain):
+                """One full chain (+ guide tail). Pass 0 records the chain;
+                resample passes skip it (want_chain is trace-time)."""
+                if use_tail_noise:
+                    # reserve an independent key for the tail's restart
+                    # noise (only when the feature is on, so existing
+                    # configs keep their exact chain noise)
+                    k, tail_key = jax.random.split(k)
+                else:
+                    tail_key = k  # unused (dead scan carry)
+                if config.use_ddim:
+                    out = run_ddim_sampling(
+                        schedule, step_eps_fn, k, (B, H, D), hard_conds,
+                        self.sampler_cfg, guide_fn=guide_fn,
+                        return_chain=want_chain,
+                        extra_refine_steps=config.ddim_refine_steps,
+                        times=config.ddim_times, eta=config.ddim_eta,
+                        refine_noise_std=config.ddim_refine_noise_std,
+                        refine_anneal_t=config.ddim_refine_anneal_t,
                     )
-                    upd = self.guide(x, weights=w)
-                    if use_tail_noise:
-                        k, sub = jax.random.split(k)
-                        upd = upd + sig * jax.random.normal(
-                            sub, x.shape, x.dtype
-                        )
-                    if config.post_guide_freeze_free:
-                        # per-trajectory adaptive tail: freeze candidates
-                        # the oracle already accepts (see PlannerConfig);
-                        # the mask covers the restart noise too
-                        free = task.trajs_free_mask(
-                            dataset.unnormalize_trajectories(x)
-                        )
-                        upd = jnp.where(free[:, None, None], 0.0, upd)
-                    x = apply_hard_conditioning(x + upd, hard_conds)
-                    return (x, k), x
+                else:
+                    sf = step_eps_fn
+                    if self._respaced_times is not None:
+                        sf = respace_eps_fn(step_eps_fn, self._respaced_times)
+                    out = run_sampling(
+                        self._run_schedule, sf, k, (B, H, D), hard_conds,
+                        self.sampler_cfg, guide_fn=guide_fn,
+                        return_chain=want_chain,
+                    )
+                x_final, chain = out if want_chain else (out, None)
+                if n_post_steps:
+                    from mpd_tpu.diffusion.gaussian_diffusion import (
+                        apply_hard_conditioning,
+                    )
 
-                (x_final, _), post_chain = jax.lax.scan(
-                    body, (x_final, tail_key), (post_scales, post_noise)
+                    # pure guide refinement after the prior chain
+                    # (ref inference.py:263-282); `s` scales the
+                    # collision-term weights per tail step
+                    # (post_guide_w_coll_ramp), `sig` is the annealed
+                    # restart-noise std (post_guide_noise_anneal)
+                    def body(carry, inp):
+                        x, kk = carry
+                        s, sig = inp
+                        w = jnp.concatenate(
+                            [guide_weights[:-1] * s, guide_weights[-1:]]
+                        )
+                        upd = self.guide(x, weights=w)
+                        if use_tail_noise:
+                            kk, sub = jax.random.split(kk)
+                            upd = upd + sig * jax.random.normal(
+                                sub, x.shape, x.dtype
+                            )
+                        if config.post_guide_freeze_free:
+                            # per-trajectory adaptive tail: freeze
+                            # candidates the oracle already accepts (see
+                            # PlannerConfig); the mask covers the
+                            # restart noise too
+                            free = task.trajs_free_mask(
+                                dataset.unnormalize_trajectories(x)
+                            )
+                            upd = jnp.where(free[:, None, None], 0.0, upd)
+                        x = apply_hard_conditioning(x + upd, hard_conds)
+                        return (x, kk), (x if want_chain else None)
+
+                    (x_final, _), post_chain = jax.lax.scan(
+                        body, (x_final, tail_key), (post_scales, post_noise)
+                    )
+                    if want_chain:
+                        chain = jnp.concatenate([chain, post_chain], axis=0)
+                return x_final, chain
+
+            x_final, chain = run_once(key, True)
+            # per-candidate resampling (see PlannerConfig.n_resample_passes):
+            # fresh chains replace only the oracle-rejected candidates
+            for p in range(config.n_resample_passes):
+                free_p = task.trajs_free_mask(
+                    dataset.unnormalize_trajectories(x_final)
                 )
-                chain = jnp.concatenate([chain, post_chain], axis=0)
+                x_new, _ = run_once(jax.random.fold_in(key, 1000 + p), False)
+                x_final = jnp.where(free_p[:, None, None], x_final, x_new)
+                chain = jnp.concatenate([chain, x_final[None]], axis=0)
             trajs_chain = dataset.unnormalize_trajectories(chain)
             trajs_final = trajs_chain[-1]
             free_mask = task.trajs_free_mask(trajs_final)
@@ -483,10 +518,6 @@ class MotionPlanner:
         )
 
         def _query_batch(key, hard_conds, params, guide_weights):
-            if use_tail_noise:
-                key, tail_key = jax.random.split(key)
-            else:
-                tail_key = key  # unused (dead carry)
             step_eps_fn = (
                 eps_fn if params is None else (lambda x, t: eps_fn(params, x, t))
             )
@@ -496,23 +527,38 @@ class MotionPlanner:
                 else None
             )
             shape = (Q * B, H, D)
-            if config.use_ddim:
-                x_final = run_ddim_sampling(
-                    schedule, step_eps_fn, key, shape, hard_conds,
-                    sampler_cfg, guide_fn=guide_fn,
-                    extra_refine_steps=config.ddim_refine_steps,
-                    times=config.ddim_times, eta=config.ddim_eta,
-                    refine_noise_std=config.ddim_refine_noise_std,
-                    refine_anneal_t=config.ddim_refine_anneal_t,
-                )
-            else:
-                if respaced_times is not None:
-                    step_eps_fn = respace_eps_fn(step_eps_fn, respaced_times)
-                x_final = run_sampling(
-                    run_schedule, step_eps_fn, key, shape, hard_conds,
-                    sampler_cfg, guide_fn=guide_fn,
-                )
-            if n_post_steps:
+
+            def run_once(k):
+                x_final, tail_key = _chain(k)
+                return _tail(x_final, tail_key)
+
+            def _chain(k):
+                if use_tail_noise:
+                    k, tail_key = jax.random.split(k)
+                else:
+                    tail_key = k  # unused (dead carry)
+                if config.use_ddim:
+                    x_final = run_ddim_sampling(
+                        schedule, step_eps_fn, k, shape, hard_conds,
+                        sampler_cfg, guide_fn=guide_fn,
+                        extra_refine_steps=config.ddim_refine_steps,
+                        times=config.ddim_times, eta=config.ddim_eta,
+                        refine_noise_std=config.ddim_refine_noise_std,
+                        refine_anneal_t=config.ddim_refine_anneal_t,
+                    )
+                else:
+                    sf = step_eps_fn
+                    if respaced_times is not None:
+                        sf = respace_eps_fn(step_eps_fn, respaced_times)
+                    x_final = run_sampling(
+                        run_schedule, sf, k, shape, hard_conds,
+                        sampler_cfg, guide_fn=guide_fn,
+                    )
+                return x_final, tail_key
+
+            def _tail(x_final, tail_key):
+                if not n_post_steps:
+                    return x_final
                 from mpd_tpu.diffusion.gaussian_diffusion import (
                     apply_hard_conditioning,
                 )
@@ -572,6 +618,17 @@ class MotionPlanner:
                     (x_final, _), _ = jax.lax.scan(
                         body, (x_final, tail_key), (post_scales, post_noise)
                     )
+                return x_final
+
+            x_final = run_once(key)
+            # per-candidate resampling (PlannerConfig.n_resample_passes):
+            # fresh chains replace only the oracle-rejected candidates
+            for p in range(config.n_resample_passes):
+                free_p = task.trajs_free_mask(
+                    dataset.unnormalize_trajectories(x_final)
+                )
+                x_new = run_once(jax.random.fold_in(key, 1000 + p))
+                x_final = jnp.where(free_p[:, None, None], x_final, x_new)
 
             tq = dataset.unnormalize_trajectories(x_final).reshape(Q, B, H, D)
             coll_mask = task.trajs_collision_mask(tq)  # [Q, B, P]

@@ -86,6 +86,12 @@ def main():
                    help="'s0,s1': linear multiplier ramp on the collision "
                         "guide weights over the post-guide tail (e.g. "
                         "'0.5,3.0' ends 3x stronger; default constant)")
+    p.add_argument("--n-resample-passes", type=int, default=0,
+                   help="re-run the full chain (+tail) this many times, "
+                        "each pass replacing only still-colliding "
+                        "candidates (independent redraws multiply the "
+                        "stuck fraction away; free candidates keep their "
+                        "plans)")
     p.add_argument("--post-guide-noise", default=None,
                    help="'s0,s1': annealed restart-noise std (normalized "
                         "units) added to STILL-COLLIDING candidates per "
@@ -178,6 +184,7 @@ def main():
                 tuple(float(s) for s in args.post_guide_noise.split(","))
                 if args.post_guide_noise else None
             ),
+            n_resample_passes=args.n_resample_passes,
             num_interpolated_points=args.num_interp,
         ),
     )

@@ -497,6 +497,55 @@ def test_post_guide_noise_anneal():
     assert np.isfinite(float(rb.fraction_free))
 
 
+def test_n_resample_passes():
+    """r5 per-candidate resampling: each pass re-runs the chain with
+    fresh noise and replaces only oracle-rejected candidates — free
+    candidates keep their plans bitwise. In the forced-x0hat setup the
+    redraw converges to the SAME targets, so the colliding diagonal
+    candidates stay colliding (replacement happened, quality unchanged)
+    while the free edge candidates are untouched; with zero passes the
+    program equals the r5 baseline. The noiseless extra steps are
+    disabled so the chain keeps key-dependent variation (with them the
+    forced chain converges exactly and a redraw is numerically
+    identical)."""
+    ds, make, s, g = _freeze_tail_setup()
+    kw = dict(post_guide_freeze_free=True, n_diffusion_steps_without_noise=0)
+    p0 = make(**kw)
+    p1 = make(n_resample_passes=1, **kw)
+    r0 = p0.plan(jax.random.PRNGKey(2), s, g, return_chain=True)
+    r1 = p1.plan(jax.random.PRNGKey(2), s, g, return_chain=True)
+    # one extra chain row per pass (the merged state)
+    assert r1.trajs_chain.shape[0] == r0.trajs_chain.shape[0] + 1
+    free0 = r0.free_mask
+    assert free0.any() and not free0.all()
+    # free candidates keep their pass-0 plans exactly
+    np.testing.assert_allclose(
+        r1.trajs_final[free0], r0.trajs_final[free0], rtol=1e-6, atol=1e-6
+    )
+    # the free set is monotone: a pass can only free candidates
+    assert r1.free_mask[free0].all()
+    # replacement uses a FRESH draw: with a real (random-net) chain —
+    # where every candidate collides, so one pass replaces the whole
+    # batch — the result differs from the no-resample run (the forced
+    # x0hat chain above snaps exactly to its target at t=0, so its
+    # redraws are numerically identical by construction)
+    ds2 = _toy_ds()
+    tr2 = np.asarray(ds2.trajs[0])
+    s2, g2 = jnp.asarray(tr2[0, :2]), jnp.asarray(tr2[-1, :2])
+    q0 = _toy_planner(ds2, n_guide_steps=2)
+    q1 = _toy_planner(ds2, n_guide_steps=2, n_resample_passes=1)
+    a = q0.plan(jax.random.PRNGKey(1), s2, g2)
+    b = q1.plan(jax.random.PRNGKey(1), s2, g2)
+    assert not a.free_mask.any()  # all colliding -> all replaced
+    assert not np.allclose(a.trajs_final, b.trajs_final)
+    # deterministic per key
+    r1b = p1.plan(jax.random.PRNGKey(2), s, g)
+    np.testing.assert_array_equal(r1.trajs_final, r1b.trajs_final)
+    # serving path accepts the config
+    rb = p1.plan_batch(jax.random.PRNGKey(2), s[None], g[None])[0]
+    assert np.isfinite(float(rb.fraction_free))
+
+
 def test_num_interpolated_points_config():
     """PlannerConfig.num_interpolated_points reaches the guide (VERDICT
     r4 #3: the 96/64 work-reduction lanes); different counts give
